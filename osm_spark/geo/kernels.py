@@ -1,0 +1,322 @@
+"""Vectorized geometry kernels over fixed-point integer coordinates.
+
+Coordinate convention (same as the reference engine): latitude/longitude
+are int64 in units of 1e-7 degrees ("fixed-point"), e.g. 45.5°N ==
+455_000_000.  Reference: /root/reference/osm/parser.ml:228-233 and
+osm/geometry.ml:24 (conv factor pi/180/1e7).
+
+Every kernel here is numpy-vectorized over arrays of points; they are
+invoked from Arrow-batched pandas UDFs (never per-row Python).  Where
+the reference pins a semantic edge case we reproduce it exactly:
+
+- point_in_polygon: crossing-number with the ``>=`` tie conventions of
+  /root/reference/osm/geometry.ml:157-174 (`py[i] >= y`, `d >= 0`);
+  behaviour for points exactly on the boundary is unspecified there
+  (geometry.mli:32-33) and here.
+- polygon_area: anchored shoelace with ``(a+1)/2`` truncating division
+  (/root/reference/osm/geometry.ml:211-226; OCaml `/` truncates toward 0).
+- douglas_peucker_int: squared-eps integer variant incl. the
+  ``truncate(float n * float n / float d2)`` mixed rounding of
+  /root/reference/osm/douglas_peucker.ml:88-98.
+- distance: haversine, truncated, with the reference's radius constant
+  (units: the reference uses r = 6371*1e6, i.e. millimeters;
+  /root/reference/osm/geometry.ml:26-36).  ``distance_m`` floors to meters.
+- z_order: bit-dilation interleave (/root/reference/osm/geometry.ml:529-538).
+- hilbert_d: Hilbert curve index via the standard public xy2d rotation
+  algorithm (Wikipedia "Hilbert curve"); serves the same clustering role
+  as the reference's table-driven variant (geometry.ml:350-526).  Key
+  values are an internal sort order, not part of the output contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FIXED_POINT = 10_000_000  # 1e-7 degrees per unit
+CONV = np.pi / 180.0 / FIXED_POINT  # fixed-point -> radians
+EARTH_R_MM = 6371.0 * 1e6  # reference radius constant (osm/geometry.ml:26)
+
+LON_WORLD = 360 * FIXED_POINT
+LAT_OFFSET = 90 * FIXED_POINT
+LON_OFFSET = 180 * FIXED_POINT
+
+
+def _trunc_div(a, b):
+    """Integer division truncating toward zero (OCaml `/`), vectorized."""
+    a = np.asarray(a)
+    q = np.abs(a) // np.abs(b)
+    return np.where(np.sign(a) * np.sign(b) < 0, -q, q)
+
+
+# ---------------------------------------------------------------------------
+# Distance
+
+
+def distance(lat1, lon1, lat2, lon2):
+    """Haversine distance, reference-exact (osm/geometry.ml:29-36).
+
+    Inputs fixed-point int64; output int64 in the reference's unit
+    (millimeters — its radius constant is 6371*1e6).
+    """
+    la1 = np.asarray(lat1, np.float64) * CONV
+    lo1 = np.asarray(lon1, np.float64) * CONV
+    la2 = np.asarray(lat2, np.float64) * CONV
+    lo2 = np.asarray(lon2, np.float64) * CONV
+    s1 = np.sin((la2 - la1) / 2.0)
+    s2 = np.sin((lo2 - lo1) / 2.0)
+    a = s1 * s1 + np.cos(la1) * np.cos(la2) * (s2 * s2)
+    return np.trunc(2.0 * EARTH_R_MM * np.arcsin(np.sqrt(a))).astype(np.int64)
+
+
+def distance_m(lat1, lon1, lat2, lon2):
+    """Haversine in whole meters (floor of the reference's mm value)."""
+    return distance(lat1, lon1, lat2, lon2) // 1000
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator / tiles
+
+_COEFF_1 = 180.0 / np.pi * FIXED_POINT
+_COEFF_2 = np.pi / 180.0 / FIXED_POINT / 2.0
+_PI_4 = np.pi / 4.0
+
+
+def lat_to_y(lat_fp):
+    """Mercator y in fixed-point units (osm/geometry.ml:44-48)."""
+    lat = np.asarray(lat_fp, np.float64)
+    return _COEFF_1 * np.log(np.tan(_PI_4 + lat * _COEFF_2))
+
+
+def y_to_lat(y):
+    y = np.asarray(y, np.float64)
+    return (np.arctan(np.exp(y / _COEFF_1)) - _PI_4) / _COEFF_2
+
+
+def tile_x(lon_fp, z):
+    """Slippy-map tile column — exact integer arithmetic.
+
+    x = floor((lon + 180°) * 2^z / 360°) over fixed-point ints, so the
+    result is bit-identical across engines (no floats involved).
+    """
+    lon = np.asarray(lon_fp, np.int64)
+    return ((lon + LON_OFFSET) * (1 << int(z))) // LON_WORLD
+
+
+def tile_y_float(lat_fp, z):
+    """Slippy-map tile row via float mercator (production kernel)."""
+    lat = np.asarray(lat_fp, np.float64) * CONV
+    n = float(1 << int(z))
+    y = (1.0 - np.arcsinh(np.tan(lat)) / np.pi) / 2.0 * n
+    return np.floor(y).astype(np.int64)
+
+
+def tile_y_boundaries(z, lat_min_fp, lat_max_fp):
+    """Integer fixed-point latitude boundaries of tile rows covering
+    [lat_min_fp, lat_max_fp].
+
+    Returns (rows, bounds): ``rows[i]`` is the tile-row id whose latitude
+    range is ``(bounds[i+1], bounds[i]]`` in fixed-point (top-exclusive
+    rows, integer-exact).  Used to make tile-y assignment a broadcast
+    range-join that is bit-identical across engines.
+    """
+    n = 1 << int(z)
+
+    def row_top_lat_fp(k):  # northern edge latitude of row k
+        return int(np.floor(np.arctan(np.sinh(np.pi * (1 - 2 * k / n))) / np.pi * 180.0 * FIXED_POINT))
+
+    # find row range covering the box
+    k_top = int(tile_y_float(np.array([lat_max_fp]), z)[0])
+    k_bot = int(tile_y_float(np.array([lat_min_fp]), z)[0])
+    k_top = max(0, k_top - 1)
+    k_bot = min(n - 1, k_bot + 1)
+    rows = list(range(k_top, k_bot + 1))
+    bounds = [row_top_lat_fp(k) for k in rows] + [row_top_lat_fp(k_bot + 1)]
+    return rows, bounds
+
+
+# ---------------------------------------------------------------------------
+# Point in polygon
+
+def points_in_ring(x, y, px, py):
+    """Crossing-number PIP of many points vs one ring.
+
+    ``px``/``py`` are the ring vertices (closed: first == last), int64.
+    Tie conventions match /root/reference/osm/geometry.ml:157-174 exactly:
+    ``pi = py[i] >= y``; toggle when ``pi != pj`` and ``(d >= 0) != pi``
+    where ``d = (px[j]-px[i])*(y-py[i]) - (x-px[i])*(py[j]-py[i])``.
+    Unspecified for points exactly on the boundary (geometry.mli:32-33).
+    """
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    pxi, pxj = px[:-1, None], px[1:, None]
+    pyi, pyj = py[:-1, None], py[1:, None]
+    pi = pyi >= y[None, :]
+    pj = pyj >= y[None, :]
+    cross = pi != pj
+    d = (pxj - pxi) * (y[None, :] - pyi) - (x[None, :] - pxi) * (pyj - pyi)
+    toggle = cross & ((d >= 0) != pi)
+    return (toggle.sum(axis=0) % 2).astype(bool)
+
+
+def point_on_segment(x, y, x1, y1, x2, y2):
+    """Vectorized point-on-segment (osm/geometry.ml:138-146)."""
+    bx = (np.minimum(x1, x2) <= x) & (x <= np.maximum(x1, x2))
+    by = (np.minimum(y1, y2) <= y) & (y <= np.maximum(y1, y2))
+    d1 = (x - x1) * (y2 - y1) - (x2 - x1) * (y - y1)
+    return bx & by & (d1 == 0)
+
+
+def points_on_ring_boundary(x, y, px, py):
+    """True where point lies on any ring segment (geometry.ml:148-155)."""
+    x = np.asarray(x, np.int64)[None, :]
+    y = np.asarray(y, np.int64)[None, :]
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    return point_on_segment(
+        x, y, px[:-1, None], py[:-1, None], px[1:, None], py[1:, None]
+    ).any(axis=0)
+
+
+def polygon_area(px, py):
+    """Anchored integer shoelace, ``(a+1)/2`` truncating (geometry.ml:211-226).
+
+    Positive for counter-clockwise rings (in (x=lon, y=lat) axes when
+    called as area(lon, lat), matching surfaces.ml:655 usage).
+    """
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    dx1 = px[:-1] - px[0]
+    dy1 = py[:-1] - py[0]
+    dx2 = px[1:] - px[0]
+    dy2 = py[1:] - py[0]
+    a = int(np.sum(dx1 * dy2 - dx2 * dy1))
+    return int(_trunc_div(a + 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Space-filling curves
+
+_DILATE_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def dilate(x):
+    """Bit-dilation (insert a 0 between every bit); geometry.ml:529-536."""
+    x = np.asarray(x, np.uint64)
+    for shift, mask in _DILATE_MASKS:
+        x = (x | (x << np.uint64(shift))) & np.uint64(mask)
+    return x
+
+
+def z_order(x, y):
+    """Morton interleave of two 32-bit values (geometry.ml:538)."""
+    return ((dilate(x) << np.uint64(1)) | dilate(y)).astype(np.int64)
+
+
+def hilbert_d(x, y, order: int = 31):
+    """Hilbert curve index of (x, y), vectorized.
+
+    Standard xy2d rotation algorithm (public; Wikipedia "Hilbert curve").
+    Serves the same spatial-clustering role as the reference's table-driven
+    hilbert_coordinate (geometry.ml:514-526); key values themselves are an
+    internal sort order, not part of any output contract (SURVEY.md §2 G10).
+    ``order`` bits per axis (<=31 keeps d in int64).
+    """
+    x = np.asarray(x, np.int64).copy()
+    y = np.asarray(y, np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_key(lat_fp, lon_fp):
+    """Hilbert key of fixed-point coords, offset like the reference
+    (lat+90°, lon+180°; surfaces.ml:100-116).
+
+    Both axes are shifted down 1 bit so lon+180° (3.6e9, 32 bits) fits the
+    31-bit-per-axis index — a 2e-7° resolution loss, irrelevant for
+    clustering.
+    """
+    lat = (np.asarray(lat_fp, np.int64) + LAT_OFFSET) >> 1
+    lon = (np.asarray(lon_fp, np.int64) + LON_OFFSET) >> 1
+    return hilbert_d(lat, lon)
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker
+
+
+def douglas_peucker_int(eps: int, x, y):
+    """Integer Douglas-Peucker; exact semantics of
+    /root/reference/osm/douglas_peucker.ml:73-127:
+
+    - squared-eps comparison, strict `>`;
+    - perpendicular case rounds via truncate(float(n)*float(n)/float(d2));
+    - endpoint-distance cases for t<=0 / t>=d2;
+    - polylines of <=2 points returned unchanged.
+
+    Returns a boolean keep-mask over the input vertices (the kept
+    subsequence equals the reference's output order).
+    """
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    n_pts = len(x)
+    keep = np.zeros(n_pts, dtype=bool)
+    keep[0] = keep[-1] = True
+    if n_pts <= 2:
+        return keep
+    eps2 = eps * eps
+    stack = [(0, n_pts - 1)]
+    while stack:
+        i1, i2 = stack.pop()
+        if i2 - i1 < 2:
+            continue
+        dx = int(x[i2] - x[i1])
+        dy = int(y[i2] - y[i1])
+        d2 = dx * dx + dy * dy
+        xi = x[i1 + 1 : i2]
+        yi = y[i1 + 1 : i2]
+        dxp = xi - x[i1]
+        dyp = yi - y[i1]
+        t = dx * dxp + dy * dyp
+        # three distance regimes, matching douglas_peucker.ml:85-98
+        d_start = dxp * dxp + dyp * dyp
+        dxe = xi - x[i2]
+        dye = yi - y[i2]
+        d_end = dxe * dxe + dye * dye
+        ncross = dx * dyp - dy * dxp
+        d_perp = np.trunc(
+            ncross.astype(np.float64) * ncross.astype(np.float64) / float(d2)
+        ).astype(np.int64) if d2 != 0 else d_start
+        dist = np.where(t <= 0, d_start, np.where(t >= d2, d_end, d_perp))
+        max_i_rel = int(np.argmax(dist))
+        if int(dist[max_i_rel]) > eps2:
+            mi = i1 + 1 + max_i_rel
+            keep[mi] = True
+            stack.append((i1, mi))
+            stack.append((mi, i2))
+    return keep
+
+
+def simplify_ring_int(eps: int, x, y):
+    """DP-simplify a closed ring; returns (x', y') kept arrays."""
+    m = douglas_peucker_int(eps, x, y)
+    return np.asarray(x, np.int64)[m], np.asarray(y, np.int64)[m]
