@@ -1,0 +1,214 @@
+"""Spatial join: point-in-polygon tagging of pages against a polygon layer.
+
+Spark-first re-expression of the reference's R-tree range query +
+point-in-polygon scan (/root/reference/database/rtree.ml:173-195,
+osm/geometry.ml:157-174).  Instead of an R-tree we use quadtree tile
+cells (z-order prefix == slippy tile) as the spatial partitioning key:
+
+  1. polygons → covering cells of their bbox (explode; the analog of
+     R-tree leaf bboxes in Hilbert order),
+  2. pages → their containing cell (pure column expressions for x,
+     Arrow pandas UDF mercator for y),
+  3. candidate join on cell — ``broadcast`` for small layers, else a
+     shuffle join with optional **salting** for hot cells + AQE skew
+     splitting,
+  4. exact PIP verify with a vectorized crossing-number kernel (Arrow
+     pandas UDF, grouped by ring inside each batch so the inner loop is
+     numpy over all points of one ring).
+
+Inside-ness for polygons with holes: in some role-0 (outer) ring and in
+no role-1 (hole) ring — matching the reference's hole handling
+(cat=0 rings mark holes, osm/lib/osm_display.ml:593-598).
+
+Scale notes (100 TB design):
+- the polygon side after explode is (features × covering cells) — for
+  OSM-planet-sized layers this still broadcasts per-cell slices well; the
+  cogroup path shuffles pages once on cell id, which is also the layout
+  a tile-partitioned Iceberg table would already have (no extra shuffle).
+- the html/binary column is never referenced → column pruning keeps it
+  out of every shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from osm_spark.geo import kernels as K
+
+DEFAULT_CELL_ZOOM = 12
+
+
+# ---------------------------------------------------------------------------
+# tile/cell keys
+
+
+def tile_x_col(lon_col, z: int):
+    """Integer-exact tile column: (lon+180°)*2^z div 360°."""
+    return F.expr(
+        f"CAST((({lon_col} + {K.LON_OFFSET}L) * {1 << z}L) DIV {K.LON_WORLD}L AS BIGINT)"
+    )
+
+
+def tile_y_udf(z: int):
+    @pandas_udf("long")
+    def _f(lat: pd.Series) -> pd.Series:
+        return pd.Series(K.tile_y_float(lat.to_numpy(np.int64), z))
+
+    return _f
+
+
+def with_cell(df: DataFrame, z: int = DEFAULT_CELL_ZOOM,
+              lat="lat", lon="lon") -> DataFrame:
+    """Add tile cell columns (cx, cy) at zoom z."""
+    return df.withColumn("cx", tile_x_col(lon, z)).withColumn(
+        "cy", tile_y_udf(z)(F.col(lat))
+    )
+
+
+# ---------------------------------------------------------------------------
+# polygon side: bbox + covering cells
+
+
+def with_bbox(polys: DataFrame) -> DataFrame:
+    """Add bbox columns from the rings payload (JVM-side array ops)."""
+    lats = F.flatten(F.expr("transform(rings, r -> r.lat)"))
+    lons = F.flatten(F.expr("transform(rings, r -> r.lon)"))
+    return (
+        polys.withColumn("lat_min", F.array_min(lats))
+        .withColumn("lat_max", F.array_max(lats))
+        .withColumn("lon_min", F.array_min(lons))
+        .withColumn("lon_max", F.array_max(lons))
+    )
+
+
+def polygon_cells(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM) -> DataFrame:
+    """Explode each polygon to the tile cells covering its bbox.
+
+    The quadtree analog of R-tree leaf registration (rtree.ml:90-121).
+    """
+    ty = tile_y_udf(z)
+    boxed = with_bbox(polys)
+    boxed = (
+        boxed.withColumn("cx_min", tile_x_col("lon_min", z))
+        .withColumn("cx_max", tile_x_col("lon_max", z))
+        .withColumn("cy_min", ty(F.col("lat_max")))  # north edge = min row
+        .withColumn("cy_max", ty(F.col("lat_min")))
+    )
+    return (
+        boxed.withColumn("cx", F.explode(F.sequence("cx_min", "cx_max")))
+        .withColumn("cy", F.explode(F.sequence("cy_min", "cy_max")))
+        .drop("cx_min", "cx_max", "cy_min", "cy_max",
+              "lat_min", "lat_max", "lon_min", "lon_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact PIP verify
+
+
+def _pip_ring_batch(ring_key: pd.Series, x: pd.Series, y: pd.Series,
+                    px: pd.Series, py: pd.Series) -> pd.Series:
+    """Vectorized PIP: rows are (point, ring) pairs; grouped by ring so
+    each distinct ring in the batch runs one numpy crossing-number pass
+    over all its points (osm/geometry.ml:157-174 semantics)."""
+    out = np.zeros(len(x), dtype=bool)
+    xv = x.to_numpy(np.int64)
+    yv = y.to_numpy(np.int64)
+    if len(x):
+        for _, idx in pd.Series(range(len(x))).groupby(ring_key.to_numpy()).groups.items():
+            ii = np.asarray(idx)
+            ring_px = np.asarray(px.iloc[ii[0]], np.int64)
+            ring_py = np.asarray(py.iloc[ii[0]], np.int64)
+            out[ii] = K.points_in_ring(xv[ii], yv[ii], ring_px, ring_py)
+    return pd.Series(out)
+
+
+def pip_ring_udf():
+    return pandas_udf(_pip_ring_batch, "boolean")
+
+
+def _pip_verify(cand: DataFrame, page_key: str) -> DataFrame:
+    """cand: (page_key, lat, lon, feature_id, rings) candidate pairs →
+    exact (page_key, feature_id) matches."""
+    rings = cand.select(
+        page_key, "lat", "lon", "feature_id",
+        F.posexplode("rings").alias("ring_idx", "ring"),
+    ).select(
+        page_key, "lat", "lon", "feature_id",
+        (F.col("feature_id") * 16 + F.col("ring_idx")).alias("ring_key"),
+        F.col("ring.role").alias("role"),
+        F.col("ring.lat").alias("ring_lat"),
+        F.col("ring.lon").alias("ring_lon"),
+    )
+    flagged = rings.withColumn(
+        "in_ring",
+        pip_ring_udf()(
+            F.col("ring_key"), F.col("lon"), F.col("lat"),
+            F.col("ring_lon"), F.col("ring_lat"),
+        ),
+    )
+    return (
+        flagged.groupBy(page_key, "feature_id")
+        .agg(
+            F.max(F.when((F.col("role") == 0) & F.col("in_ring"), True).otherwise(False)).alias("in_outer"),
+            F.max(F.when((F.col("role") == 1) & F.col("in_ring"), True).otherwise(False)).alias("in_hole"),
+        )
+        .filter(F.col("in_outer") & ~F.col("in_hole"))
+        .select(page_key, "feature_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-level joins
+
+
+def spatial_join(
+    pages: DataFrame,
+    polys: DataFrame,
+    z: int = DEFAULT_CELL_ZOOM,
+    how: str = "inner",
+    broadcast_polys: bool = True,
+    salt: int | None = None,
+    page_key: str = "page_id",
+) -> DataFrame:
+    """PIP-join pages (with lat/lon columns) to a polygon layer.
+
+    Returns (page_key, feature_id); ``how='left'`` keeps unmatched pages
+    with NULL feature_id (outer-default semantics, database/join.ml:35-57).
+
+    ``broadcast_polys`` — small/medium layers: ships the exploded
+    (cell → polygon) index to every executor; no shuffle of the pages at
+    all.  ``salt`` — for the shuffle path with hot cells: replicates each
+    polygon-cell row ``salt`` ways and spreads pages across replicas.
+    """
+    pts = with_cell(pages.select(page_key, "lat", "lon"), z)
+    cells = polygon_cells(polys.select("feature_id", "rings"), z)
+
+    if broadcast_polys:
+        cand = pts.join(F.broadcast(cells), ["cx", "cy"], "inner")
+    elif salt and salt > 1:
+        pts_s = pts.withColumn("salt", F.pmod(F.xxhash64(page_key), F.lit(salt)))
+        cells_s = cells.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("salt", F.col("salt").cast("long"))
+        cand = pts_s.join(cells_s, ["cx", "cy", "salt"], "inner")
+    else:
+        cand = pts.join(cells, ["cx", "cy"], "inner")
+
+    matches = _pip_verify(cand.select(page_key, "lat", "lon", "feature_id", "rings"), page_key)
+
+    if how == "left":
+        return pages.select(page_key).join(matches, page_key, "left")
+    return matches
+
+
+def spatial_join_pages(pages_with_geo: DataFrame, polys: DataFrame, **kw) -> DataFrame:
+    """Convenience: join and keep url + feature info."""
+    m = spatial_join(pages_with_geo, polys, **kw)
+    return pages_with_geo.join(m, kw.get("page_key", "page_id"), "left").select(
+        "url", "feature_id"
+    )

@@ -1,0 +1,91 @@
+"""Golden end-to-end test: spatial join of fixture pages vs polygon layer,
+compared against a brute-force pure-python PIP oracle (no cells, no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_spark import fixtures as FX
+from osm_spark.geo import kernels as K
+from osm_spark.operators.geocode import geocode_pages
+from osm_spark.operators.spatial_join import spatial_join
+
+N_PAGES = 400
+N_SMALL = 120
+
+
+def brute_force_matches(page_ids, lats, lons, polys):
+    """(page_id, feature_id) set via direct numpy PIP on every polygon."""
+    out = set()
+    lats = np.asarray(lats)
+    lons = np.asarray(lons)
+    for p in polys:
+        in_outer = np.zeros(len(lats), dtype=bool)
+        in_hole = np.zeros(len(lats), dtype=bool)
+        for r in p["rings"]:
+            flags = K.points_in_ring(lons, lats, np.array(r["lon"]), np.array(r["lat"]))
+            if r["role"] == 0:
+                in_outer |= flags
+            else:
+                in_hole |= flags
+        for pid in np.asarray(page_ids)[in_outer & ~in_hole].tolist():
+            out.add((pid, p["feature_id"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture_data(spark):
+    pages = FX.pages_df(spark, N_PAGES)
+    polys = FX.polygons_df(spark, N_SMALL)
+    geo = geocode_pages(pages)
+    rows = geo.select("page_id", "lat", "lon").collect()
+    pids = [r.page_id for r in rows]
+    lats = [r.lat for r in rows]
+    lons = [r.lon for r in rows]
+    oracle = brute_force_matches(pids, lats, lons, FX.all_polygons(N_SMALL))
+    return geo, polys, oracle
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"broadcast_polys": True},
+        {"broadcast_polys": False},
+        {"broadcast_polys": False, "salt": 4},
+    ],
+    ids=["broadcast", "shuffle", "salted"],
+)
+def test_spatial_join_matches_bruteforce(spark, fixture_data, kw):
+    geo, polys, oracle = fixture_data
+    got = {
+        (r.page_id, r.feature_id)
+        for r in spatial_join(geo, polys, **kw).collect()
+    }
+    assert got == oracle
+    assert len(got) > N_PAGES * 0.4  # skewed fixture: most pages hit a city
+
+
+def test_left_join_keeps_unmatched(spark, fixture_data):
+    geo, polys, oracle = fixture_data
+    res = spatial_join(geo, polys, how="left").collect()
+    matched_pages = {pid for pid, _ in oracle}
+    got_null = {r.page_id for r in res if r.feature_id is None}
+    all_pages = {r.page_id for r in res}
+    assert all_pages == set(range(N_PAGES))
+    assert got_null == set(range(N_PAGES)) - matched_pages
+    assert got_null  # fixture guarantees some background no-match pages
+
+
+def test_text_passthrough_byte_identical(spark):
+    """North-rule invariant: text survives the pipeline byte-identical."""
+    import hashlib
+
+    pdf = FX.generate_pages(50)
+    before = {u: hashlib.sha256(t.encode()).hexdigest() for u, t in zip(pdf.url, pdf.text)}
+    pages = spark.createDataFrame(pdf)
+    geo = geocode_pages(pages)
+    polys = FX.polygons_df(spark, 10)
+    joined = geo.join(spatial_join(geo, polys, how="left"), "page_id", "left")
+    after = {r.url: hashlib.sha256(r.text.encode()).hexdigest() for r in joined.select("url", "text").collect()}
+    assert after == before
