@@ -1,38 +1,472 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial-join + tile-assignment pipeline on
+sf0.001.  ``queries()``/``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2, validated against DuckDB at sf0.01.
+
+Column names are aliased identically on both sides; all oracle-compared
+computations are exact int64 arithmetic or deterministic IEEE ops
+(single division/sqrt on identical inputs), never accumulation-order-
+dependent float sums.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_spark import fixtures as FX
+from osm_spark import oracle_sql as OSQL
+from osm_spark.operators import dedup as D
+from osm_spark.operators import relational as R
+from osm_spark.operators import similarity as SIM
+from osm_spark.operators import textops as TX
+from osm_spark.operators import tiles as T
+from osm_spark.operators.geocode import geocode_ids, geocode_pages
+from osm_spark.operators.knn import knn_join
+from osm_spark.operators.spatial_join import spatial_join
+from osm_spark.pages_view import documents_as_pages
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _geo_docs(spark, sf_dir):
+    return geocode_ids(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+
+def _city_polys_df(spark):
+    return spark.createDataFrame(
+        [
+            (p["feature_id"], p["category"], p["layer"],
+             [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
+            for p in FX.city_polygons()
+        ],
+        FX.POLYGON_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents→pages, geocode, PIP-join vs city polygons,
+    z12 tile assignment — (url, feature_id, x, y)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = documents_as_pages(_t(spark, sf_dir, "documents"))
+    geo = geocode_pages(pages)
+    polys = _city_polys_df(spark)
+    matches = spatial_join(geo, polys, how="left")
+    tiles = T.page_tiles(geo, zooms=(12,))
+    return (
+        geo.select("page_id", "url")
+        .join(matches, "page_id", "left")
+        .join(tiles.select("page_id", "x", "y"), "page_id", "left")
+        .select("url", "feature_id", "x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_r05_filter_eq(spark, sf):
+    return R.filter_eq(_t(spark, sf, "lineitem"), "l_returnflag", "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_r09_set_intersect(spark, sf):
+    o = _t(spark, sf, "orders").filter("o_orderstatus = 'O'").select("o_orderkey")
+    li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return R.set_intersect(o, li, "o_orderkey")
+
+
+def q_r10_set_diff(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return R.set_diff(o, li, "o_orderkey")
+
+
+def q_r11_join_defaults(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal", "c_mktsegment"
+    )
+    return R.join_with_defaults(
+        o, c, "o_custkey", {"c_acctbal": 0.0, "c_mktsegment": "NONE"}
+    ).select("o_orderkey", "o_custkey", "c_acctbal", "c_mktsegment")
+
+
+def q_r12_top_k(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return R.top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        100,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+
+
+def q_r14_distinct(spark, sf):
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_r15_group_fold(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "flag",
+        R.classify(F.col("l_returnflag"), {"A": 1, "N": 2, "R": 4}, 0).cast("long"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.bit_or("flag").alias("flag_mask"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_r16_csr_index(spark, sf):
+    return R.csr_index(_t(spark, sf, "orders"), "o_custkey")
+
+
+def q_r17_union(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter("o_orderstatus = 'F'").select("o_orderkey").withColumn("src", F.lit(1))
+    b = o.filter("o_totalprice > 300000").select("o_orderkey").withColumn("src", F.lit(2))
+    return a.unionByName(b)
+
+
+def q_r19_dict_encode(spark, sf):
+    return R.dictionary_encode(_t(spark, sf, "part"), "p_type")
+
+
+def q_r21_group_collect(spark, sf):
+    return R.group_collect_sorted(_t(spark, sf, "lineitem"), "l_orderkey", "l_linenumber")
+
+
+def q_r22_join_unique(spark, sf):
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return R.join_with_defaults(n, s, "n_nationkey", {"cnt": 0}).select(
+        "n_nationkey", "n_name", F.col("cnt").alias("n_suppliers")
+    )
+
+
+def q_tag_classify(spark, sf):
+    ev = _t(spark, sf, "events")
+    cat = R.classify(
+        F.col("event_type"), {"click": 1, "view": 2, "purchase": 3, "signup": 4}, 0
+    )
+    return ev.select("event_id", cat.cast("int").alias("cat"))
+
+
+def q_x1_edge_lead(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.lead("event_id").over(w).alias("next_event")
+    )
+
+
+# --- geo ---------------------------------------------------------------
+
+
+def q_g06_pip_tag(spark, sf):
+    docs = _geo_docs(spark, sf)
+    return spatial_join(docs, _city_polys_df(spark), how="left", page_key="doc_id")
+
+
+def q_g22_tile_assign(spark, sf):
+    docs = _geo_docs(spark, sf)
+    rows = T.tile_y_rows_df(spark, 8, FX.LAT0, FX.LAT0 + FX.SPAN).unionByName(
+        T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN)
+    )
+    return T.page_tiles_exact(docs, rows, key="doc_id")
+
+
+def q_g17_knn(spark, sf):
+    docs = _geo_docs(spark, sf)
+    feats = spark.createDataFrame(
+        OSQL.knn_features(32), "feature_id long, lat long, lon long"
+    )
+    out = knn_join(docs, feats, k=1, cell_zoom=8, radius=2, key="doc_id")
+    return out.select("doc_id", "feature_id", "dist2", F.col("rank").alias("rnk"))
+
+
+def q_g11_zorder(spark, sf):
+    docs = _geo_docs(spark, sf)
+    d = docs.withColumn("u", F.expr(f"(lat - {FX.LAT0}) DIV 2048")).withColumn(
+        "v", F.expr(f"(lon - {FX.LON0}) DIV 2048")
+    )
+    for s, m in OSQL._DILATE:
+        d = d.withColumn("u", F.expr(f"(u | shiftleft(u, {s})) & {m}")).withColumn(
+            "v", F.expr(f"(v | shiftleft(v, {s})) & {m}")
+        )
+    return d.select("doc_id", F.expr("shiftleft(u, 1) | v").alias("zkey"))
+
+
+# --- text / dedup / similarity ------------------------------------------
+
+
+def q_t_dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_t_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_t_quality(spark, sf):
+    d = TX.with_quality(_t(spark, sf, "documents"))
+    return d.select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio")
+
+
+def q_t_langid(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.langid_col(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_t_minhash_pairs(spark, sf):
+    return D.minhash_pairs(_t(spark, sf, "documents"))
+
+
+def q_t_simhash(spark, sf):
+    return D.simhash16(_t(spark, sf, "documents"))
+
+
+def q_t_jaccard_consecutive(spark, sf):
+    return D.ngram_jaccard_consecutive(_t(spark, sf, "documents"))
+
+
+def q_s_cosine_topk(spark, sf):
+    return SIM.cosine_topk(_t(spark, sf, "embeddings"), k=3)
+
+
+def q_s_lsh_topk(spark, sf):  # rows-only check (float-fold bucket ids)
+    return SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3)
+
+
+def q_t_fingerprint(spark, sf):  # rows-only check (byte-level rolling hash)
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "r05_filter_eq": q_r05_filter_eq,
+        "r09_set_intersect": q_r09_set_intersect,
+        "r10_set_diff": q_r10_set_diff,
+        "r11_join_defaults": q_r11_join_defaults,
+        "r12_top_k": q_r12_top_k,
+        "r14_distinct": q_r14_distinct,
+        "r15_group_fold": q_r15_group_fold,
+        "r16_csr_index": q_r16_csr_index,
+        "r17_union": q_r17_union,
+        "r19_dict_encode": q_r19_dict_encode,
+        "r21_group_collect": q_r21_group_collect,
+        "r22_join_unique": q_r22_join_unique,
+        "tag_classify": q_tag_classify,
+        "x1_edge_lead": q_x1_edge_lead,
+        "g06_pip_tag": q_g06_pip_tag,
+        "g22_tile_assign": q_g22_tile_assign,
+        "g17_knn": q_g17_knn,
+        "g11_zorder": q_g11_zorder,
+        "t_dedup_exact": q_t_dedup_exact,
+        "t_token_count": q_t_token_count,
+        "t_quality": q_t_quality,
+        "t_langid": q_t_langid,
+        "t_minhash_pairs": q_t_minhash_pairs,
+        "t_simhash": q_t_simhash,
+        "t_jaccard_consecutive": q_t_jaccard_consecutive,
+        "s_cosine_topk": q_s_cosine_topk,
+        "s_lsh_topk": q_s_lsh_topk,
+        "t_fingerprint": q_t_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _minhash_sig_sql():
+    mh = ", ".join(
+        f"min((h * {a} + {b}) % {D.MERSENNE}) AS mh{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    return f"""
+{OSQL.MINHASH_TOKS_CTE},
+h AS (SELECT doc_id, {OSQL.TOKEN_HASH_DUCKDB} % {D.MERSENNE} AS h FROM toks),
+sig AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id)"""
+
+
+def _langid_sql():
+    def cnt(w):
+        return f"((length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2})"
+
+    scores = {
+        lg: " + ".join(cnt(w) for w in ws) for lg, ws in TX.LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    )
+    sels = ", ".join(f"{e} AS s_{lg}" for lg, e in scores.items())
+    return f"""
+WITH sc AS (SELECT doc_id, {sels} FROM documents),
+b AS (SELECT doc_id, {best} AS best, * FROM sc)
+SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM b"""
+
+
+def _simhash_sql():
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH {OSQL.MINHASH_TOKS_CTE},
+h AS (SELECT doc_id, {OSQL.TOKEN_HASH_DUCKDB} AS h FROM toks),
+agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    zc, zlast = OSQL.zorder_ctes_duckdb()
+    n_tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    stop = " + ".join(
+        f"((length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2})"
+        for w in ["a", "and", "of", "the"]
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b}::VARCHAR || '_' || mh{2 * b + 1}::VARCHAR AS bkey FROM sig"
+        for b in range(4)
+    )
+    return {
+        "r05_filter_eq": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+        "r09_set_intersect": """
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
+        "r10_set_diff": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+        "r11_join_defaults": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   coalesce(c.c_acctbal, 0.0) AS c_acctbal,
+                   coalesce(c.c_mktsegment, 'NONE') AS c_mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "r12_top_k": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+              FROM lineitem) WHERE rk <= 100""",
+        "r14_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "r15_group_fold": """
+            SELECT l_orderkey, min(l_quantity) AS min_qty,
+                   bit_or(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 WHEN 'R' THEN 4 ELSE 0 END::BIGINT) AS flag_mask,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey""",
+        "r16_csr_index": """
+            SELECT o_custkey, count(*) AS cnt,
+                   coalesce(sum(count(*)) OVER (ORDER BY o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+            FROM orders GROUP BY o_custkey""",
+        "r17_union": """
+            SELECT o_orderkey, 1 AS src FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, 2 AS src FROM orders WHERE o_totalprice > 300000""",
+        "r19_dict_encode": """
+            SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS str_id
+            FROM (SELECT DISTINCT p_type FROM part)""",
+        "r21_group_collect": """
+            SELECT l_orderkey, string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber::VARCHAR) AS l_linenumber_list
+            FROM lineitem GROUP BY l_orderkey""",
+        "r22_join_unique": """
+            SELECT n.n_nationkey, n.n_name, coalesce(s.cnt, 0) AS n_suppliers
+            FROM nation n LEFT JOIN
+              (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY s_nationkey) s
+            ON n.n_nationkey = s.s_nationkey""",
+        "tag_classify": """
+            SELECT event_id, CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 0 END AS INTEGER) AS cat
+            FROM events""",
+        "x1_edge_lead": """
+            SELECT user_id, event_id,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+            FROM events""",
+        "g06_pip_tag": f"""
+            WITH {OSQL.pip_hits_sql().lstrip()}
+            SELECT d.doc_id, h.feature_id FROM documents d LEFT JOIN hits h USING (doc_id)""",
+        "g22_tile_assign": f"""
+            WITH {OSQL.PTS_CTE},
+            rows_(z, y, lat_hi, lat_lo) AS (VALUES {OSQL.tile_rows_values((8, 12))})
+            SELECT p.doc_id, r.z, {OSQL.tile_x_sql((8, 12))} AS x, r.y
+            FROM pts p JOIN rows_ r ON p.lat > r.lat_lo AND p.lat <= r.lat_hi""",
+        "g17_knn": f"""
+            WITH {OSQL.PTS_CTE},
+            feats(feature_id, flat, flon) AS (VALUES {OSQL.knn_features_values(32)}),
+            d AS (SELECT p.doc_id, f.feature_id,
+                         (p.lat - f.flat) * (p.lat - f.flat) + (p.lon - f.flon) * (p.lon - f.flon) AS dist2
+                  FROM pts p CROSS JOIN feats f),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, feature_id) AS rnk FROM d)
+            SELECT doc_id, feature_id, dist2, rnk FROM r WHERE rnk <= 1""",
+        "g11_zorder": f"""
+            WITH {OSQL.PTS_CTE},
+            {zc}
+            SELECT doc_id, ((u << 1) | v) AS zkey FROM {zlast}""",
+        "t_dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "t_token_count": f"SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents",
+        "t_quality": f"""
+            SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens,
+                   (length(text) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE) AS mean_tok_len,
+                   CAST({stop} AS DOUBLE) / {n_tok} AS stop_ratio
+            FROM documents""",
+        "t_langid": _langid_sql(),
+        "t_minhash_pairs": f"""
+            WITH {_minhash_sig_sql().lstrip()},
+            bands AS ({bands_union})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+        "t_simhash": _simhash_sql(),
+        "t_jaccard_consecutive": f"""
+            WITH {OSQL.MINHASH_TOKS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, count(*) AS n_inter
+              FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id + 1 AND t1.tok = t2.tok
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, i.n_inter,
+                   CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b""",
+        "s_cosine_topk": f"""
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS idx,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SIM.QUANT}) AS BIGINT) AS q
+              FROM embeddings),
+            norms AS (SELECT vec_id, sum(q * q) AS norm2 FROM comp GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, sum(a.q * b.q) AS dot
+              FROM comp a JOIN comp b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT d.vec_id, d.neighbor_id,
+                     d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+              FROM dots d JOIN norms na ON na.vec_id = d.vec_id
+                          JOIN norms nb ON nb.vec_id = d.neighbor_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cos)
+            SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3""",
+        # s_lsh_topk, t_fingerprint: intentionally no oracle (rows-only) —
+        # float-fold bucket ids / byte-level rolling hash aren't
+        # SQL-expressible deterministically; covered by pytest goldens.
+    }

@@ -1,0 +1,113 @@
+"""Benchmark harness: spatial-join + tile-assignment throughput (pages/sec).
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
+
+The pages table is synthesized deterministically from osm_spark.fixtures
+at a row count proportional to sf (2M rows/sf-unit) and cached as parquet
+under data/ so generation cost never pollutes timings.  The polygon layer
+is the full fixture layer (~1500 features incl. hot city cells).
+
+Scaling evidence (BASELINE.md protocol): tools/scaling.py runs this same
+job at local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+PAGES_PER_SF = 2_000_000
+N_SMALL_POLYS = 1500
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_pages(spark, sf: float) -> str:
+    """Deterministic pages parquet for this sf (cached)."""
+    n = max(int(PAGES_PER_SF * sf), 1000)
+    out = Path(__file__).resolve().parent / "data" / f"bench_pages_{n}"
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        from osm_spark import fixtures as FX
+
+        # generate in deterministic chunks to bound driver memory
+        chunk = 250_000
+        writer_mode = "overwrite"
+        for start in range(0, n, chunk):
+            import pandas as pd  # noqa: F401
+
+            pdf = FX.generate_pages_range(start, min(start + chunk, n))
+            spark.createDataFrame(pdf).repartition(8).write.mode(writer_mode).parquet(str(out))
+            writer_mode = "append"
+    return str(out)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_of(sf_dir)
+
+    from osm_spark import fixtures as FX
+    from osm_spark.operators import tiles as T
+    from osm_spark.operators.geocode import geocode_ids, geocode_pages
+    from osm_spark.operators.knn import knn_join
+    from osm_spark.operators.spatial_join import spatial_join
+    from osm_spark.session import get_spark
+
+    spark = get_spark("osm_spark_bench", cores=cpus,
+                      shuffle_partitions=max(int(cpus) * 2, 8))
+    pages_path = ensure_pages(spark, sf)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    polys = FX.polygons_df(spark, N_SMALL_POLYS)
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return res
+
+    geo = geocode_pages(pages).select("page_id", "url", "lat", "lon")
+
+    # q1: spatial join (broadcast PIP) — count matches
+    run("spatial_join", lambda: spatial_join(geo, polys, how="left").count())
+    # q2: page tile assignment, 4 zoom bands
+    run("tile_assign_pages", lambda: T.page_tiles(geo).count())
+    # q3: feature tile assignment (area cutoffs + DP per band)
+    run("tile_assign_features", lambda: T.feature_tiles(polys).count())
+    # q4: kNN nearest feature (k=1) over 256 feature points
+    feats = geocode_ids(
+        spark.range(256).withColumnRenamed("id", "feature_id"), "feature_id"
+    )
+    run("knn", lambda: knn_join(geo, feats, k=1, cell_zoom=8, radius=2).count())
+
+    total = round(sum(timings.values()), 3)
+    e2e_rate = round(n_pages / timings["spatial_join"], 1)
+    print(json.dumps({
+        "metric": "spatial_join_tile_assign_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "cpus": int(cpus),
+        "pages_per_sec_spatial_join": e2e_rate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

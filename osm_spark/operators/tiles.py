@@ -1,0 +1,166 @@
+"""Tile assignment: route pages and polygon features to z/x/y map tiles.
+
+Spark-first re-expression of the reference's per-zoom R-tree
+materialization (/root/reference/osm/surfaces.ml:625-700):
+
+- per zoom band z: area cutoff ``trunc(8 * (1e7/scale)^2)`` with
+  ``scale = 256/360 * 2^z`` (surfaces.ml:633-641), Douglas-Peucker
+  simplification at ``ratio = trunc(1e7/scale/2)`` (surfaces.ml:636-637),
+- small/large size-class split at the z15.5 cutoff with the building
+  exception (surfaces.ml:644-674),
+- polygon area = sum of signed ring areas, holes negative
+  (surfaces.ml:655-657 folds area over outer::inner rings).
+
+Instead of R-tree leaves, features land in slippy tiles (z, x, y) —
+the output is a tile table ready to be written partitioned by
+(z, bucket(x, y)); parquet/Iceberg min-max stats on x/y then give the
+same pruning the R-tree interior nodes gave (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_spark.geo import kernels as K
+from osm_spark.operators.spatial_join import tile_x_col, tile_y_udf
+
+ZOOM_BANDS = (6, 8, 10, 12)
+BUILDING_CAT = 12  # fixture category id used for the building exception
+
+
+def band_params(z: float) -> tuple[int, int]:
+    """(area_cutoff, dp_ratio) for a zoom band (surfaces.ml:633-641)."""
+    scale = 256.0 / 360.0 * 2.0**z
+    return math.trunc(8.0 * (1e7 / scale) ** 2), math.trunc(1e7 / scale / 2.0)
+
+
+SMALL_AREA = math.trunc(8.0 * (1e7 / (256.0 / 360.0 * 2.0**15.5)) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# page tiles
+
+
+def page_tiles(pages_geo: DataFrame, zooms: Iterable[int] = ZOOM_BANDS,
+               key: str = "page_id") -> DataFrame:
+    """(key, z, x, y) for each zoom; x integer-exact, y via mercator UDF."""
+    parts = []
+    for z in zooms:
+        parts.append(
+            pages_geo.select(
+                F.col(key),
+                F.lit(z).alias("z"),
+                tile_x_col("lon", z).alias("x"),
+                tile_y_udf(z)(F.col("lat")).alias("y"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tile_y_rows_df(spark: SparkSession, z: int, lat_min_fp: int, lat_max_fp: int) -> DataFrame:
+    """Broadcastable tile-row boundary table: (z, y, lat_hi, lat_lo).
+
+    Row y covers lat in (lat_lo, lat_hi] — integer-exact assignment via
+    range join; bit-identical across engines (no floats at query time).
+    """
+    rows, bounds = K.tile_y_boundaries(z, lat_min_fp, lat_max_fp)
+    data = [(z, r, hi, lo) for r, hi, lo in zip(rows, bounds, bounds[1:])]
+    return spark.createDataFrame(data, "z int, y long, lat_hi long, lat_lo long")
+
+
+def page_tiles_exact(pages_geo: DataFrame, rows_df: DataFrame, key: str = "page_id") -> DataFrame:
+    """Tile assignment via broadcast range-join on integer row boundaries."""
+    p = pages_geo.select(key, "lat", "lon")
+    j = p.join(
+        F.broadcast(rows_df),
+        (p.lat > rows_df.lat_lo) & (p.lat <= rows_df.lat_hi),
+        "inner",
+    )
+    x = F.expr(
+        f"CAST(((lon + {K.LON_OFFSET}L) * shiftleft(1L, z)) DIV {K.LON_WORLD}L AS BIGINT)"
+    )
+    return j.select(F.col(key), F.col("z"), x.alias("x"), F.col("y"))
+
+
+# ---------------------------------------------------------------------------
+# feature tiles
+
+
+def _feature_tiles_pandas(zooms: tuple[int, ...]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = [(z, *band_params(z)) for z in zooms]
+        for pdf in batches:
+            out = {"feature_id": [], "category": [], "band": [], "z": [],
+                   "x_min": [], "x_max": [], "y_min": [], "y_max": [], "n_pts": []}
+
+            def emit(fid, cat, band, z, rings):
+                la = np.concatenate([r[0] for r in rings])
+                lo = np.concatenate([r[1] for r in rings])
+                out["feature_id"].append(fid)
+                out["category"].append(cat)
+                out["band"].append(band)
+                out["z"].append(z)
+                out["x_min"].append(int(K.tile_x(lo.min(), z)))
+                out["x_max"].append(int(K.tile_x(lo.max(), z)))
+                out["y_min"].append(int(K.tile_y_float(la.max(), z)))
+                out["y_max"].append(int(K.tile_y_float(la.min(), z)))
+                out["n_pts"].append(sum(len(r[0]) for r in rings))
+
+            for fid, cat, rings in zip(pdf["feature_id"], pdf["category"], pdf["rings"]):
+                ring_arrays = [
+                    (np.asarray(r["lat"], np.int64), np.asarray(r["lon"], np.int64), r["role"])
+                    for r in rings
+                ]
+                # signed area over all rings, holes (CW) negative
+                area = sum(K.polygon_area(lo, la) for la, lo, _ in ring_arrays)
+                is_small = area <= SMALL_AREA or (
+                    area <= 50_000_000 and cat == BUILDING_CAT
+                )
+                emit(fid, cat, "small" if is_small else "large", 14, ring_arrays)
+                for z, cutoff, ratio in params:
+                    if area >= cutoff:
+                        simp = []
+                        degenerate = False
+                        for la, lo, role in ring_arrays:
+                            sla, slo = K.simplify_ring_int(ratio, la, lo)
+                            if role == 0 and len(sla) < 4:
+                                degenerate = True
+                            simp.append((sla, slo, role))
+                        if not degenerate:
+                            emit(fid, cat, str(z), z, simp)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+FEATURE_TILE_SCHEMA = (
+    "feature_id long, category int, band string, z int, "
+    "x_min long, x_max long, y_min long, y_max long, n_pts long"
+)
+
+
+def feature_tile_spans(polys: DataFrame, zooms: tuple[int, ...] = ZOOM_BANDS) -> DataFrame:
+    """Per (feature, band): covering tile span after per-band area filter +
+    DP simplification.  One mapInPandas pass over the polygon layer."""
+    return polys.select("feature_id", "category", "rings").mapInPandas(
+        _feature_tiles_pandas(tuple(zooms)), FEATURE_TILE_SCHEMA
+    )
+
+
+def feature_tiles(polys: DataFrame, zooms: tuple[int, ...] = ZOOM_BANDS) -> DataFrame:
+    """Exploded (feature_id, band, z, x, y) tile assignment table."""
+    spans = feature_tile_spans(polys, zooms)
+    return (
+        spans.withColumn("x", F.explode(F.sequence("x_min", "x_max")))
+        .withColumn("y", F.explode(F.sequence("y_min", "y_max")))
+        .select("feature_id", "category", "band", "z", "x", "y")
+    )

@@ -1,0 +1,128 @@
+"""Golden tests for tile assignment and kNN join vs pure-python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_spark import fixtures as FX
+from osm_spark.geo import kernels as K
+from osm_spark.operators import tiles as T
+from osm_spark.operators.geocode import geocode_ids, geocode_pages
+from osm_spark.operators.knn import brute_force_knn, knn_join
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def geo_pages(spark):
+    return geocode_pages(FX.pages_df(spark, N_PAGES))
+
+
+def test_page_tiles_match_kernel(spark, geo_pages):
+    rows = geo_pages.select("page_id", "lat", "lon").collect()
+    got = {
+        (r.page_id, r.z, r.x, r.y)
+        for r in T.page_tiles(geo_pages, zooms=(6, 12)).collect()
+    }
+    want = set()
+    for r in rows:
+        for z in (6, 12):
+            want.add((r.page_id, z, int(K.tile_x(r.lon, z)), int(K.tile_y_float(r.lat, z))))
+    assert got == want
+
+
+def test_page_tiles_exact_range_join_agrees(spark, geo_pages):
+    rows_df = T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN)
+    got = {
+        (r.page_id, r.x, r.y)
+        for r in T.page_tiles_exact(geo_pages, rows_df).collect()
+    }
+    via_float = {
+        (r.page_id, r.x, r.y)
+        for r in T.page_tiles(geo_pages, zooms=(12,)).collect()
+    }
+    assert got == via_float
+
+
+def feature_tiles_oracle(polys, zooms):
+    out = set()
+    for p in polys:
+        rings = [
+            (np.asarray(r["lat"], np.int64), np.asarray(r["lon"], np.int64), r["role"])
+            for r in p["rings"]
+        ]
+        area = sum(K.polygon_area(lo, la) for la, lo, _ in rings)
+        is_small = area <= T.SMALL_AREA or (area <= 50_000_000 and p["category"] == T.BUILDING_CAT)
+        def tiles_of(rgs, z, band):
+            la = np.concatenate([r[0] for r in rgs])
+            lo = np.concatenate([r[1] for r in rgs])
+            for x in range(int(K.tile_x(lo.min(), z)), int(K.tile_x(lo.max(), z)) + 1):
+                for y in range(int(K.tile_y_float(la.max(), z)), int(K.tile_y_float(la.min(), z)) + 1):
+                    out.add((p["feature_id"], band, z, x, y))
+        tiles_of(rings, 14, "small" if is_small else "large")
+        for z in zooms:
+            cutoff, ratio = T.band_params(z)
+            if area >= cutoff:
+                simp = []
+                ok = True
+                for la, lo, role in rings:
+                    sla, slo = K.simplify_ring_int(ratio, la, lo)
+                    if role == 0 and len(sla) < 4:
+                        ok = False
+                    simp.append((sla, slo, role))
+                if ok:
+                    tiles_of(simp, z, str(z))
+    return out
+
+
+def test_feature_tiles_match_oracle(spark):
+    n_small = 40
+    polys = FX.polygons_df(spark, n_small)
+    got = {
+        (r.feature_id, r.band, r.z, r.x, r.y)
+        for r in T.feature_tiles(polys).collect()
+    }
+    want = feature_tiles_oracle(FX.all_polygons(n_small), T.ZOOM_BANDS)
+    assert got == want
+    bands = {b for _, b, _, _, _ in got}
+    assert {"small", "large"} <= bands  # size-class split exercised
+    assert "6" in bands  # the huge polygon survives the z6 cutoff
+
+
+def test_zoom_cutoff_filters_small_features(spark):
+    polys = FX.polygons_df(spark, 30)
+    ft = T.feature_tiles(polys)
+    z6_feats = {r.feature_id for r in ft.filter("band = '6'").collect()}
+    # small buildings must not appear at z6; cities + the huge one may
+    assert all(f < 5 or f >= 35 for f in z6_feats), z6_feats
+
+
+def test_knn_exact_matches_bruteforce(spark, geo_pages):
+    feats = geocode_ids(
+        spark.range(40).withColumnRenamed("id", "feature_id"), "feature_id"
+    )
+    got = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in knn_join(geo_pages, feats, k=2, cell_zoom=8, radius=2).collect()
+    }
+    want = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in brute_force_knn(geo_pages, feats, k=2).collect()
+    }
+    assert got == want
+    assert len({p for p, *_ in got}) == N_PAGES
+
+
+def test_knn_sparse_features_fallback(spark, geo_pages):
+    # only 2 features: almost every point is uncertified -> brute force path
+    feats = geocode_ids(spark.range(2).withColumnRenamed("id", "feature_id"), "feature_id")
+    got = {
+        (r.page_id, r.feature_id)
+        for r in knn_join(geo_pages, feats, k=1, cell_zoom=8, radius=1).collect()
+    }
+    want = {
+        (r.page_id, r.feature_id)
+        for r in brute_force_knn(geo_pages, feats, k=1).collect()
+    }
+    assert got == want

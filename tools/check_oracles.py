@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()``
+on DuckDB over the same parquet tables; compare row count, column
+names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # exact repr — engines must agree bit-for-bit
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from osm_spark.session import get_spark
+
+    missing = [t for t in TABLES if not Path(f"{args.sf}/{t}.parquet").exists()]
+    if missing:
+        print(f"error: --sf {args.sf} is missing tables: {missing}")
+        return 2
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or list(qs)
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name:24s} spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name:24s} rows={len(srows)} (no oracle — rows-only)"
+                  f" [{time.time() - t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            drows = res.fetchall()
+            dcols = res.columns
+        except Exception as e:
+            print(f"FAIL  {name:24s} duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_hash = (
+            table_hash(srows, scols) == table_hash(drows, dcols)
+            if ok_cols and ok_count
+            else False
+        )
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            n_fail += 1
+        print(
+            f"{status}  {name:24s} rows={len(srows)}/{len(drows)} "
+            f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash={'=' if ok_hash else 'X'}"
+            f" [{time.time() - t0:.1f}s]"
+        )
+        if not ok_hash and ok_cols and ok_count and len(srows) < 100000:
+            # show first differing canonical line for debugging
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            sl = sorted("\x1f".join(canon_value(r[i]) for i in order) for r in srows)
+            dl = sorted("\x1f".join(canon_value(r[i]) for i in order) for r in drows)
+            for a, b in zip(sl, dl):
+                if a != b:
+                    print(f"      spark : {a[:160]}")
+                    print(f"      duckdb: {b[:160]}")
+                    break
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
