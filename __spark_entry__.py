@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from osm_spark import fixtures as FX
 from osm_spark import oracle_sql as OSQL
 from osm_spark.operators import dedup as D
+from osm_spark.operators import geomops as GM
 from osm_spark.operators import relational as R
+from osm_spark.operators import routing as RT
 from osm_spark.operators import similarity as SIM
 from osm_spark.operators import textops as TX
 from osm_spark.operators import tiles as T
@@ -213,6 +215,44 @@ def q_g11_zorder(spark, sf):
     return d.select("doc_id", F.expr("shiftleft(u, 1) | v").alias("zkey"))
 
 
+def q_g01_distance(spark, sf):
+    docs = _geo_docs(spark, sf)
+    nxt = geocode_ids(
+        _t(spark, sf, "documents").select((F.col("doc_id") + 1).alias("nid"),
+                                          F.col("doc_id")),
+        "nid",
+    ).select("doc_id", F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
+    return docs.join(nxt, "doc_id").select(
+        "doc_id", GM.haversine_col("lat", "lon", "lat2", "lon2").alias("dist_mm")
+    )
+
+
+def q_g08_area(spark, sf):
+    polys = spark.createDataFrame(
+        [
+            (p["feature_id"],
+             [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
+            for p in FX.city_polygons() + FX.small_polygons(100)
+        ],
+        "feature_id long, rings array<struct<role:int, lat:array<long>, lon:array<long>>>",
+    )
+    return GM.feature_areas(polys)
+
+
+def q_g12_dp(spark, sf):  # rows-only (recursive DP not SQL-expressible)
+    return GM.feature_dp_counts(_city_polys_df(spark), ratio=T.band_params(10)[1])
+
+
+def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
+    nodes, refs = FX.road_network_dfs(spark, grid=6)
+    edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
+    res = RT.contract(edges)
+    return res.edges.select(
+        "src", "dst", F.round("weight", 6).alias("weight_r"),
+        F.col("via").isNotNull().alias("is_shortcut"), "rank_src", "rank_dst"
+    )
+
+
 # --- text / dedup / similarity ------------------------------------------
 
 
@@ -281,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_tile_assign": q_g22_tile_assign,
         "g17_knn": q_g17_knn,
         "g11_zorder": q_g11_zorder,
+        "g01_distance": q_g01_distance,
+        "g08_area": q_g08_area,
+        "g12_dp": q_g12_dp,
+        "x5_ch_shortcuts": q_x5_ch_shortcuts,
         "t_dedup_exact": q_t_dedup_exact,
         "t_token_count": q_t_token_count,
         "t_quality": q_t_quality,
@@ -423,6 +467,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {OSQL.PTS_CTE},
             {zc}
             SELECT doc_id, ((u << 1) | v) AS zkey FROM {zlast}""",
+        "g01_distance": f"""
+            WITH {OSQL.PTS_CTE},
+            nxt AS (SELECT doc_id,
+                       {FX.LAT0} + ((doc_id + 1) * {FX.GEO_A}) % {FX.SPAN} AS lat2,
+                       {FX.LON0} + ((doc_id + 1) * {FX.GEO_B}) % {FX.SPAN} AS lon2
+                    FROM documents)
+            SELECT p.doc_id, {OSQL.haversine_sql("p.lat", "p.lon", "n.lat2", "n.lon2")} AS dist_mm
+            FROM pts p JOIN nxt n USING (doc_id)""",
+        "g08_area": f"""
+            WITH {OSQL.shoelace_sql(100).lstrip()}
+            SELECT feature_id, sum(a) AS area FROM ringarea GROUP BY feature_id""",
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",

@@ -229,3 +229,57 @@ def generate_pages_range(start: int, stop: int):
 def pages_df(spark, n: int):
     pdf = generate_pages(n)
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# road network (routing fixtures)
+
+
+def road_network(grid: int = 8):
+    """Deterministic grid road network.
+
+    Returns (nodes, way_refs):
+    - nodes: rows (node_id, lat, lon) — fixed-point 1e-7°, jittered grid;
+    - way_refs: rows (way_id, seq, node_id, category, oneway) — one way
+      per grid row (east-west) and per column (north-south); categories
+      cycle through the speed profile; every 5th way is one-way.
+    Plus a handful of diagonal shortcut ways so witness searches have
+    real alternatives.
+    """
+    step = SPAN // (grid + 1)
+    nodes = []
+    for r in range(grid):
+        for c in range(grid):
+            nid = r * grid + c
+            jl = ((nid * GEO_A) % 200_001) - 100_000
+            jo = ((nid * GEO_B) % 200_001) - 100_000
+            nodes.append((nid, LAT0 + (r + 1) * step + jl, LON0 + (c + 1) * step + jo))
+    refs = []
+    wid = 0
+    for r in range(grid):  # east-west ways
+        cat = wid % 7
+        ow = 1 if wid % 5 == 4 else 0
+        for c in range(grid):
+            refs.append((wid, c, r * grid + c, cat, ow))
+        wid += 1
+    for c in range(grid):  # north-south ways
+        cat = wid % 7
+        ow = -1 if wid % 5 == 4 else 0
+        for r in range(grid):
+            refs.append((wid, r, r * grid + c, cat, ow))
+        wid += 1
+    for k in range(grid // 2):  # diagonals
+        cat = 2
+        for d in range(grid - k):
+            refs.append((wid, d, (d + k) * grid + d, cat, 0))
+        wid += 1
+    return nodes, refs
+
+
+def road_network_dfs(spark, grid: int = 8):
+    nodes, refs = road_network(grid)
+    nodes_df = spark.createDataFrame(nodes, "node_id long, lat long, lon long")
+    refs_df = spark.createDataFrame(
+        refs, "way_id long, seq int, node_id long, category int, oneway int"
+    )
+    return nodes_df, refs_df

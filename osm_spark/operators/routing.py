@@ -1,0 +1,673 @@
+"""Routing graph construction + contraction hierarchies (CH), Spark-first.
+
+Re-expresses the reference's routing pipeline (SURVEY.md §2.5) as
+DataFrame programs:
+
+- X1 edge extraction: consecutive ``way_refs`` pairs -> directed edges
+  with haversine length and direction flags from a routing profile
+  (/root/reference/osm/highway.ml:152-246; direction logic 218-237,
+  BIDIR=3 / FWD=2 / BWD=1).
+- X3/X4 witness search + node contraction: per-node local Dijkstra over
+  the node's 1-hop neighbourhood subgraph inside an ``applyInPandas``
+  UDF (/root/reference/osm/contraction.ml:261-310, 345-495).  The
+  reference searches the full graph with bounds; restricting witnesses
+  to the 1-hop subgraph can only ADD shortcuts, never drop a needed
+  one, so shortest-path preservation is unconditional.
+- X5 independent-set batched contraction: each round contracts every
+  node whose (priority, hash, id) beats all 1- and 2-hop neighbours
+  (/root/reference/osm/contraction.ml:557-660) — already data-parallel
+  in the reference; here it is a driver loop of DataFrame stages with a
+  parquet/Iceberg checkpoint per round (north-rule: resumable, with
+  per-round row-count/byte metrics).
+- X6/X7: rank-ordered output edges + a driver-side bidirectional CH
+  query used by the tests to prove distance preservation vs plain
+  Dijkstra.
+
+Priority = depth + 2*edge_growth + 4*orig_edge_growth, the reference's
+formula (contraction.ml:345-423).  The tie-break hash replaces OCaml's
+``Hashtbl.hash`` with a documented multiplicative hash (SURVEY.md §7
+risk register: capability parity, pinned to our own deterministic rule).
+
+Scale notes (100 TB target): every per-round stage is a key-partitioned
+join or aggregation — no driver-side graph state.  The neighbourhood
+gather is two self-joins on node id; AQE skew-split covers hub nodes.
+Priorities are recomputed for all active nodes each round (the
+independent set touches most neighbourhoods anyway); lineage is cut
+every round by the checkpoint write+read.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BIDIR, FWD, BWD = 3, 2, 1  # highway.ml:218-237 flag values
+
+# deterministic tie-break hash (replaces Hashtbl.hash; Knuth multiplicative)
+HASH_A = 2654435761
+HASH_MOD = 1 << 31
+
+# default speed profile, km/h by category id (profile_car.ml:27-81 analog)
+DEFAULT_SPEEDS = {0: 130, 1: 110, 2: 90, 3: 70, 4: 50, 5: 30, 6: 10}
+
+
+def _hash_col(c):
+    return (F.col(c) * F.lit(HASH_A)) % F.lit(HASH_MOD)
+
+
+# ---------------------------------------------------------------------------
+# X1: edge extraction
+
+
+def extract_edges(way_refs: DataFrame, nodes: DataFrame,
+                  speeds: dict[int, int] | None = None) -> DataFrame:
+    """way_refs(way_id, seq, node_id) + ways' category/oneway + node coords
+    -> directed weighted edges.
+
+    ``way_refs`` must also carry ``category`` (int) and ``oneway`` (int:
+    0 both, 1 forward, -1 backward), constant per way.  Output columns:
+    (src, dst, length_mm, weight, flags) with one row per traversable
+    direction; weight = length / speed (reference: highway.ml:192-246).
+    """
+    from osm_spark.geo import kernels as K
+
+    speeds = speeds or DEFAULT_SPEEDS
+    w = Window.partitionBy("way_id").orderBy("seq")
+    segs = (
+        way_refs.join(nodes, "node_id")
+        .select(
+            "way_id", "seq", "category", "oneway",
+            F.col("node_id").alias("src"),
+            F.col("lat").alias("src_lat"), F.col("lon").alias("src_lon"),
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .withColumn("dst_lat", F.lead("src_lat").over(w))
+        .withColumn("dst_lon", F.lead("src_lon").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+    @F.pandas_udf("long")
+    def hav_mm(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(K.distance(a.to_numpy(), b.to_numpy(),
+                                    c.to_numpy(), d.to_numpy()))
+
+    speed_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in speeds.items() for x in kv]),
+        F.col("category"),
+    )
+    segs = (
+        segs.withColumn("length_mm",
+                        hav_mm("src_lat", "src_lon", "dst_lat", "dst_lon"))
+        .withColumn("speed", F.coalesce(speed_expr, F.lit(50)))
+        .withColumn("weight", F.col("length_mm") / (F.col("speed") * 1000.0))
+        .withColumn(
+            "flags",
+            F.when(F.col("oneway") == 0, F.lit(BIDIR))
+            .when(F.col("oneway") > 0, F.lit(FWD))
+            .otherwise(F.lit(BWD)),
+        )
+    )
+    fwd = segs.filter(F.col("flags").bitwiseAND(2) != 0).select(
+        "src", "dst", "length_mm", "weight")
+    bwd = segs.filter(F.col("flags").bitwiseAND(1) != 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        "length_mm", "weight")
+    return (
+        fwd.unionByName(bwd)
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"), F.min("length_mm").alias("length_mm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3/X4: per-node simulated contraction (priority + shortcut candidates)
+
+_SIM_SCHEMA = (
+    "node long, n_in int, n_out int, n_shortcuts int, orig_in_out int, "
+    "orig_shortcuts int, "
+    "shortcuts array<struct<u:long, w:long, weight:double, orig:int>>"
+)
+
+
+def _simulate_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Simulate contracting node v: local witness Dijkstra over the 1-hop
+    neighbourhood subgraph (contraction.ml:261-310), emit needed
+    shortcuts + growth stats."""
+    import heapq
+
+    v = int(pdf["v"].iloc[0])
+    inc = pdf[pdf["is_incident"]]
+    among = pdf[~pdf["is_incident"]]
+    in_e = inc[inc["dst"] == v]        # u -> v
+    out_e = inc[inc["src"] == v]       # v -> w
+    # adjacency of the neighbourhood subgraph, v excluded
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, d, wt in zip(among["src"], among["dst"], among["weight"]):
+        adj.setdefault(int(s), []).append((int(d), float(wt)))
+
+    in_pairs = list(zip(in_e["src"].astype(np.int64),
+                        in_e["weight"].astype(float),
+                        in_e["orig"].astype(int)))
+    out_pairs = list(zip(out_e["dst"].astype(np.int64),
+                         out_e["weight"].astype(float),
+                         out_e["orig"].astype(int)))
+    shortcuts = []
+    for u, w_uv, o_uv in in_pairs:
+        targets = {int(w): (w_uv + w_vw, o_uv + o_vw)
+                   for w, w_vw, o_vw in out_pairs if int(w) != int(u)}
+        if not targets:
+            continue
+        limit = max(t[0] for t in targets.values())
+        # bounded Dijkstra from u over the neighbourhood subgraph
+        dist = {int(u): 0.0}
+        pq = [(0.0, int(u))]
+        while pq:
+            d0, x = heapq.heappop(pq)
+            if d0 > dist.get(x, np.inf) or d0 > limit:
+                continue
+            for y, wt in adj.get(x, ()):
+                nd = d0 + wt
+                if nd < dist.get(y, np.inf) and nd <= limit:
+                    dist[y] = nd
+                    heapq.heappush(pq, (nd, y))
+        for w, (sc_w, sc_o) in targets.items():
+            if dist.get(w, np.inf) > sc_w:  # no witness -> shortcut needed
+                shortcuts.append((u, w, sc_w, sc_o))
+
+    return pd.DataFrame(
+        {
+            "node": [v],
+            "n_in": [len(in_pairs)],
+            "n_out": [len(out_pairs)],
+            "n_shortcuts": [len(shortcuts)],
+            "orig_in_out": [int(in_e["orig"].sum() + out_e["orig"].sum())],
+            "orig_shortcuts": [int(sum(s[3] for s in shortcuts))],
+            "shortcuts": [shortcuts],
+        }
+    )
+
+
+def _neighbourhoods(edges: DataFrame) -> DataFrame:
+    """Per active node v: its incident edges plus the edges among its
+    neighbours (witness subgraph), as one tall DF keyed by v."""
+    nbr = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+    )
+    incident = (
+        edges.select(F.col("src").alias("v"), "src", "dst", "weight", "orig")
+        .unionByName(
+            edges.select(F.col("dst").alias("v"), "src", "dst", "weight", "orig"))
+        .withColumn("is_incident", F.lit(True))
+    )
+    among = (
+        nbr.join(edges, nbr["n"] == edges["src"])
+        .select("v", "src", "dst", "weight", "orig")
+        .join(
+            nbr.select(F.col("v").alias("v2"), F.col("n").alias("dst2")),
+            (F.col("v") == F.col("v2")) & (F.col("dst") == F.col("dst2")),
+            "left_semi",
+        )
+        .filter(F.col("src") != F.col("v"))  # incident rows covered above
+        .withColumn("is_incident", F.lit(False))
+    )
+    return incident.unionByName(among)
+
+
+# ---------------------------------------------------------------------------
+# X5: independent-set batched contraction driver loop
+
+
+@dataclass
+class CHResult:
+    edges: DataFrame          # (src, dst, weight, orig, via, rank_src, rank_dst)
+    ranks: DataFrame          # (node, rank)
+    metrics: list[dict] = field(default_factory=list)
+    rounds: int = 0
+
+
+def _dir_bytes(p: Path) -> int:
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def _contract_local(rows, rank_offset: int, depths0=None):
+    """Sequential CH finish for the small residual core graph.
+
+    ``rows``: (src, dst, weight, orig, via).  Contract nodes one at a
+    time in lazy priority order (priority recomputed at pop — the
+    standard CH queue trick; same formula as the distributed rounds),
+    witness-searching the live residual graph.  Returns
+    (frozen_edge_rows, rank_dict) with ranks starting at
+    ``rank_offset``.  Mirrors the reference's single-node behaviour
+    (contraction.ml:439-495) — on a cluster this runs on the driver once
+    the distributed rounds have shrunk the graph below the threshold.
+    """
+    import heapq
+
+    out_e: dict[int, dict[int, tuple]] = {}
+    in_e: dict[int, dict[int, tuple]] = {}
+    for s, d, w, o, via in rows:
+        s, d = int(s), int(d)
+        cur = out_e.setdefault(s, {}).get(d)
+        if cur is None or w < cur[0]:
+            out_e.setdefault(s, {})[d] = (float(w), int(o), via)
+            in_e.setdefault(d, {})[s] = (float(w), int(o), via)
+    nodes = set(out_e) | set(in_e)
+    depth = {n: 0 for n in nodes}
+    if depths0:
+        depth.update({int(k): int(v) for k, v in depths0.items() if int(k) in nodes})
+
+    def witness_limit_dijkstra(u, excl, limit, targets):
+        dist = {u: 0.0}
+        pq = [(0.0, u)]
+        found = {}
+        while pq:
+            d0, x = heapq.heappop(pq)
+            if d0 > dist.get(x, np.inf) or d0 > limit:
+                continue
+            if x in targets:
+                found[x] = d0
+            for y, (w, _, _) in out_e.get(x, {}).items():
+                if y == excl:
+                    continue
+                nd = d0 + w
+                if nd < dist.get(y, np.inf) and nd <= limit:
+                    dist[y] = nd
+                    heapq.heappush(pq, (nd, y))
+        return found
+
+    def simulate(v):
+        ins = [(u, w, o) for u, (w, o, _) in in_e.get(v, {}).items() if u != v]
+        outs = [(w_, wt, o) for w_, (wt, o, _) in out_e.get(v, {}).items() if w_ != v]
+        shortcuts = []
+        for u, w_uv, o_uv in ins:
+            targets = {w_: (w_uv + w_vw, o_uv + o_vw)
+                       for w_, w_vw, o_vw in outs if w_ != u}
+            if not targets:
+                continue
+            limit = max(t[0] for t in targets.values())
+            found = witness_limit_dijkstra(u, v, limit, set(targets))
+            for w_, (sw, so) in targets.items():
+                if found.get(w_, np.inf) > sw:
+                    shortcuts.append((u, w_, sw, so))
+        eg = len(shortcuts) - len(ins) - len(outs)
+        og = sum(s[3] for s in shortcuts) - sum(o for _, _, o in ins) \
+            - sum(o for _, _, o in outs)
+        prio = depth[v] + 2 * eg + 4 * og
+        return prio, shortcuts
+
+    frozen = []
+    ranks = {}
+    pq = []
+    for v in nodes:
+        p, _ = simulate(v)
+        heapq.heappush(pq, (p, (v * HASH_A) % HASH_MOD, v))
+    rank = rank_offset
+    while pq:
+        p0, h, v = heapq.heappop(pq)
+        if v in ranks:
+            continue
+        p, shortcuts = simulate(v)  # lazy recompute
+        if pq and (p, h) > (pq[0][0], pq[0][1]):
+            heapq.heappush(pq, (p, h, v))
+            continue
+        ranks[v] = rank
+        nbrs = (set(in_e.get(v, {})) | set(out_e.get(v, {}))) - {v}
+        for u, (w, o, via) in list(in_e.get(v, {}).items()):
+            frozen.append((u, v, w, o, via))
+            out_e.get(u, {}).pop(v, None)
+        for w_, (wt, o, via) in list(out_e.get(v, {}).items()):
+            frozen.append((v, w_, wt, o, via))
+            in_e.get(w_, {}).pop(v, None)
+        out_e.pop(v, None)
+        in_e.pop(v, None)
+        for u, w_, sw, so in shortcuts:
+            cur = out_e.setdefault(u, {}).get(w_)
+            if cur is None or sw < cur[0]:
+                out_e.setdefault(u, {})[w_] = (sw, so, v)
+                in_e.setdefault(w_, {})[u] = (sw, so, v)
+        for n in nbrs:
+            depth[n] = max(depth[n], depth[v] + 1)
+        rank += 1
+    return frozen, ranks
+
+
+def contract(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_rounds: int = 60,
+    resume: bool = True,
+    local_threshold: int = 10_000,
+    finish_local: bool = True,
+) -> CHResult:
+    """Full CH preprocessing: iterative independent-set contraction
+    (contraction.ml:557-660) as a checkpointed DataFrame loop, with a
+    driver-local finish for the residual core.
+
+    ``edges``: directed (src, dst, weight).  When ``checkpoint_dir`` is
+    set, every round writes delta checkpoints to parquet — the frozen
+    output edges and new ranks of that round, plus the full (small,
+    shrinking) active edge set and node depths — and the loop resumes
+    from the last complete round if ``resume``.  Per-round metrics go to
+    ``metrics.jsonl``.  Deltas keep total checkpoint I/O linear in the
+    edge count rather than quadratic in rounds.
+
+    Distributed rounds run while the active graph has more than
+    ``local_threshold`` edges; the long tail (independent sets shrink
+    geometrically, so late rounds touch a tiny core) is finished
+    sequentially on the driver — the per-round cluster overhead would
+    dominate otherwise.  With ``finish_local=False`` and ``max_rounds``
+    hit, leftover nodes get arbitrary top ranks: the result is a valid
+    *resume point*, not a correct CH.
+    """
+    spark = edges.sparkSession
+    ckpt = Path(checkpoint_dir) if checkpoint_dir else None
+    metrics: list[dict] = []
+    frozen_parts: list[DataFrame] = []   # per-round frozen-edge deltas
+    rank_parts: list[DataFrame] = []     # per-round rank deltas
+
+    active = (
+        edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        .withColumn("orig", F.lit(1))
+        .withColumn("via", F.lit(None).cast("long"))
+    )
+    depths = (
+        active.select(F.col("src").alias("node"))
+        .unionByName(active.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+    )
+    start_round = 0
+    n_active = None
+
+    if ckpt and resume and (ckpt / "metrics.jsonl").exists():
+        lines = [json.loads(x) for x in
+                 (ckpt / "metrics.jsonl").read_text().splitlines() if x]
+        if (ckpt / "final" / "edges" / "_SUCCESS").exists():
+            out = spark.read.parquet(str(ckpt / "final" / "edges"))
+            ranks_all = spark.read.parquet(str(ckpt / "final" / "ranks"))
+            return CHResult(edges=out, ranks=ranks_all, metrics=lines,
+                            rounds=len(lines))
+        complete = [m["round"] for m in lines
+                    if m.get("complete") and not m.get("local_finish")]
+        if complete:
+            k = max(complete)
+            active = spark.read.parquet(str(ckpt / f"round={k:04d}" / "active"))
+            depths = spark.read.parquet(str(ckpt / f"round={k:04d}" / "depths"))
+            for j in range(k + 1):
+                frozen_parts.append(
+                    spark.read.parquet(str(ckpt / f"round={j:04d}" / "frozen")))
+                rank_parts.append(
+                    spark.read.parquet(str(ckpt / f"round={j:04d}" / "ranks")))
+            start_round = k + 1
+            metrics = [m for m in lines if m["round"] <= k]
+            n_active = metrics[-1]["active_edges_out"]
+
+    if n_active is None:
+        active = active.localCheckpoint()
+        n_active = active.count()
+
+    rnd = start_round
+    for rnd in range(start_round, max_rounds):
+        if n_active == 0 or (finish_local and n_active <= local_threshold):
+            break
+        t0 = time.time()
+        nh = _neighbourhoods(active)
+        sim = nh.groupBy("v").applyInPandas(_simulate_group, _SIM_SCHEMA)
+        prio = (
+            sim.join(depths, "node", "left")
+            .fillna({"depth": 0})
+            .withColumn(
+                "priority",
+                F.col("depth")
+                + 2 * (F.col("n_shortcuts") - F.col("n_in") - F.col("n_out"))
+                + 4 * (F.col("orig_shortcuts") - F.col("orig_in_out")),
+            )
+            .withColumn("h", _hash_col("node"))
+            .withColumn("key", F.struct("priority", "h", F.col("node").alias("id")))
+        )
+        # independent set: key(v) strictly minimal over 1- and 2-hop nbrs
+        nbr = (
+            active.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+            .unionByName(
+                active.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+            .distinct()
+        )
+        keyed = prio.select(F.col("node").alias("n"), F.col("key").alias("nkey"))
+        m1 = nbr.join(keyed, "n").groupBy("v").agg(F.min("nkey").alias("m1"))
+        # min over {key(n), m1(n)} for n in nbrs(v) — covers 2-hop incl. v itself
+        n_all = (
+            nbr.join(keyed, "n")
+            .join(m1.select(F.col("v").alias("n"), F.col("m1").alias("nm1")), "n", "left")
+            .groupBy("v")
+            .agg(F.least(F.min("nkey"), F.min("nm1")).alias("m2"))
+        )
+        selected = (
+            prio.join(n_all, prio["node"] == n_all["v"], "left")
+            .filter(F.col("m2").isNull() | (F.col("key") <= F.col("m2")))
+            .select("node", "shortcuts", "depth")
+            .localCheckpoint()  # one action: full sim + selection
+        )
+        sel_nodes = selected.select("node")
+
+        new_ranks = sel_nodes.withColumn("rank", F.lit(rnd).cast("long"))
+        # edges incident to a selected endpoint freeze this round; selected
+        # nodes are pairwise non-adjacent, so the two branches are disjoint
+        frozen = (
+            active.join(sel_nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+            .unionByName(
+                active.join(sel_nodes.withColumnRenamed("node", "dst"),
+                            "dst", "left_semi")
+                .join(sel_nodes.withColumnRenamed("node", "src"),
+                      "src", "left_anti"))
+            .withColumn("rank_src", F.lit(rnd).cast("long"))
+        )
+        shortcuts = (
+            selected.select(F.col("node").alias("via_n"),
+                            F.explode("shortcuts").alias("s"))
+            .select(
+                F.col("s.u").alias("src"), F.col("s.w").alias("dst"),
+                F.col("s.weight").alias("weight"),
+                F.col("s.orig").alias("orig"), F.col("via_n").alias("via"),
+            )
+        )
+        survivors = (
+            active.join(sel_nodes.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(sel_nodes.withColumnRenamed("node", "dst"), "dst", "left_anti")
+        )
+        active_next = (
+            survivors.unionByName(shortcuts)
+            .groupBy("src", "dst")
+            .agg(F.min_by(F.struct("weight", "orig", "via"), "weight").alias("e"))
+            .select("src", "dst", "e.weight", "e.orig", "e.via")
+        )
+        # depth(n) = max(depth(n), depth(contracted neighbour)+1)  (X5 update)
+        touched = (
+            nbr.join(selected.select(F.col("node").alias("n"), "depth"), "n")
+            .groupBy("v").agg((F.max("depth") + 1).alias("new_depth"))
+            .withColumnRenamed("v", "node")
+        )
+        depths_next = (
+            depths.join(sel_nodes, "node", "left_anti")
+            .join(touched, "node", "left")
+            .select("node",
+                    F.greatest("depth", F.coalesce("new_depth", F.lit(0))).alias("depth"))
+        )
+
+        if ckpt:
+            rd = ckpt / f"round={rnd:04d}"
+            frozen.write.mode("overwrite").parquet(str(rd / "frozen"))
+            new_ranks.write.mode("overwrite").parquet(str(rd / "ranks"))
+            active_next.write.mode("overwrite").parquet(str(rd / "active"))
+            depths_next.write.mode("overwrite").parquet(str(rd / "depths"))
+            frozen_parts.append(spark.read.parquet(str(rd / "frozen")))
+            rank_parts.append(spark.read.parquet(str(rd / "ranks")))
+            active = spark.read.parquet(str(rd / "active"))
+            depths = spark.read.parquet(str(rd / "depths"))
+        else:
+            frozen_parts.append(frozen.localCheckpoint())
+            rank_parts.append(new_ranks.localCheckpoint())
+            active = active_next.localCheckpoint()
+            depths = depths_next.localCheckpoint()
+
+        n_sel = selected.count()
+        n_active_out = active.count()
+        m = {
+            "round": rnd, "active_edges_in": n_active,
+            "active_edges_out": n_active_out,
+            "contracted": n_sel,
+            "wall_s": round(time.time() - t0, 3),
+            "complete": True,
+        }
+        if ckpt:
+            m["checkpoint_bytes"] = _dir_bytes(ckpt / f"round={rnd:04d}")
+            with open(ckpt / "metrics.jsonl", "a") as f:
+                f.write(json.dumps(m) + "\n")
+        metrics.append(m)
+        n_active = n_active_out
+        if n_sel == 0:
+            break
+
+    ranks = spark.createDataFrame([], "node long, rank long")
+    for p in rank_parts:
+        ranks = ranks.unionByName(p)
+    done = spark.createDataFrame(
+        [], "src long, dst long, weight double, orig int, via long, rank_src long")
+    for p in frozen_parts:
+        done = done.unionByName(p)
+    done = done.select("src", "dst", "weight", "orig", "via")
+    rank_offset = (metrics[-1]["round"] + 1) if metrics else 0
+
+    if finish_local and n_active > 0:
+        # residual core: sequential CH on the driver (see docstring)
+        t0 = time.time()
+        depth_rows = {r.node: r.depth for r in depths.collect()}
+        core_rows = [(r.src, r.dst, r.weight, r.orig, r.via)
+                     for r in active.collect()]
+        frozen_rows, rank_map = _contract_local(
+            core_rows, 1_000_000 + rank_offset, depth_rows)
+        local_done = spark.createDataFrame(
+            [(s, d, float(w), int(o), None if v is None else int(v))
+             for s, d, w, o, v in frozen_rows],
+            "src long, dst long, weight double, orig int, via long")
+        local_ranks = spark.createDataFrame(
+            [(int(n), int(r)) for n, r in rank_map.items()], "node long, rank long")
+        done = done.unionByName(local_done)
+        ranks = ranks.unionByName(local_ranks)
+        active = active.filter(F.lit(False))
+        m = {"round": rank_offset, "local_finish": True,
+             "core_edges": len(core_rows), "core_nodes": len(rank_map),
+             "wall_s": round(time.time() - t0, 3), "complete": True}
+        if ckpt:
+            with open(ckpt / "metrics.jsonl", "a") as f:
+                f.write(json.dumps(m) + "\n")
+        metrics.append(m)
+        ranks_all = ranks
+    else:
+        # leftover nodes (max_rounds hit, no local finish): unique top
+        # ranks by id — a resume point, not a correct CH (see docstring)
+        leftover = (
+            active.select(F.col("src").alias("node"))
+            .unionByName(active.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(ranks, "node", "left_anti")
+        )
+        top = leftover.withColumn(
+            "rank",
+            F.lit(2_000_000)
+            + F.row_number().over(Window.orderBy("node")).cast("long"),
+        )
+        ranks_all = ranks.unionByName(top.select("node", "rank"))
+
+    all_edges = done.unionByName(
+        active.select("src", "dst", "weight", "orig", "via")
+    ).dropDuplicates(["src", "dst", "weight"])
+    rk = ranks_all
+    out = (
+        all_edges
+        .join(rk.select(F.col("node").alias("src"), F.col("rank").alias("rank_src")),
+              "src")
+        .join(rk.select(F.col("node").alias("dst"), F.col("rank").alias("rank_dst")),
+              "dst")
+    )
+    if ckpt and finish_local:
+        out.write.mode("overwrite").parquet(str(ckpt / "final" / "edges"))
+        ranks_all.write.mode("overwrite").parquet(str(ckpt / "final" / "ranks"))
+        out = spark.read.parquet(str(ckpt / "final" / "edges"))
+        ranks_all = spark.read.parquet(str(ckpt / "final" / "ranks"))
+    return CHResult(edges=out, ranks=ranks_all, metrics=metrics,
+                    rounds=len(metrics))
+
+
+# ---------------------------------------------------------------------------
+# X7: bidirectional CH query (driver-side, for tests / point lookups)
+
+
+def ch_query(ch_edges: list[tuple], s: int, t: int) -> float:
+    """Bidirectional Dijkstra over upward edges.
+
+    ``ch_edges``: rows (src, dst, weight, rank_src, rank_dst).  Returns
+    the shortest distance s->t (inf if unreachable).  Reference:
+    osm/routing.ml:49-79,148-172 (shortcut expansion not needed for
+    distance-only queries).
+    """
+    import heapq
+
+    up_fwd: dict[int, list[tuple[int, float]]] = {}
+    up_bwd: dict[int, list[tuple[int, float]]] = {}
+    for src, dst, w, r_s, r_d in ch_edges:
+        if r_d > r_s:
+            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
+        if r_s > r_d:
+            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
+
+    def search(adj, start):
+        dist = {start: 0.0}
+        pq = [(0.0, start)]
+        while pq:
+            d0, x = heapq.heappop(pq)
+            if d0 > dist.get(x, np.inf):
+                continue
+            for y, w in adj.get(x, ()):
+                nd = d0 + w
+                if nd < dist.get(y, np.inf):
+                    dist[y] = nd
+                    heapq.heappush(pq, (nd, y))
+        return dist
+
+    df = search(up_fwd, int(s))
+    db = search(up_bwd, int(t))
+    best = np.inf
+    for x, d in df.items():
+        if x in db:
+            best = min(best, d + db[x])
+    return float(best)
+
+
+def dijkstra_ref(edge_rows: list[tuple], s: int) -> dict[int, float]:
+    """Plain-Dijkstra oracle over (src, dst, weight) rows (test baseline)."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for src, dst, w in edge_rows:
+        adj.setdefault(int(src), []).append((int(dst), float(w)))
+    dist = {int(s): 0.0}
+    pq = [(0.0, int(s))]
+    while pq:
+        d0, x = heapq.heappop(pq)
+        if d0 > dist.get(x, np.inf):
+            continue
+        for y, w in adj.get(x, ()):
+            nd = d0 + w
+            if nd < dist.get(y, np.inf):
+                dist[y] = nd
+                heapq.heappush(pq, (nd, y))
+    return dist

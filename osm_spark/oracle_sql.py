@@ -112,6 +112,55 @@ def zorder_ctes_duckdb() -> str:
     return ",\n".join(steps), prev
 
 
+HAVERSINE_CONV = K.CONV  # np.pi/180/1e7, exact float shared with SQL
+
+
+def haversine_sql(lat1="lat", lon1="lon", lat2="lat2", lon2="lon2") -> str:
+    """trunc(2 R asin(sqrt(...))) in mm — bit-matches kernels.distance
+    (verified 0/20000 mismatch vs numpy on the fixture geocode)."""
+    c = repr(HAVERSINE_CONV)
+    return (
+        f"CAST(trunc(2.0 * {K.EARTH_R_MM!r} * asin(sqrt("
+        f"pow(sin(({lat2}-{lat1})*{c}/2.0),2) + "
+        f"cos({lat1}*{c})*cos({lat2}*{c})*pow(sin(({lon2}-{lon1})*{c}/2.0),2)"
+        f"))) AS BIGINT)"
+    )
+
+
+def polygon_verts_values(n_small: int = 100) -> str:
+    """Ring vertices of city + first n_small fixture polygons as VALUES
+    (feature_id, ridx, seq, x, y) with x=lon, y=lat (closed rings)."""
+    rows = []
+    for p in FX.city_polygons() + FX.small_polygons(n_small):
+        for ridx, r in enumerate(p["rings"]):
+            for s, (la, lo) in enumerate(zip(r["lat"], r["lon"])):
+                rows.append(f"({p['feature_id']},{ridx},{s},{lo},{la})")
+    return ",".join(rows)
+
+
+def shoelace_sql(n_small: int = 100) -> str:
+    """CTE chain computing per-feature signed area: anchored shoelace per
+    ring with the reference's (a+1)/2 truncating division
+    (geometry.ml:211-226), holes (CW rings) negative."""
+    return f"""
+verts0(feature_id, ridx, seq, x, y) AS (VALUES {polygon_verts_values(n_small)}),
+verts AS (SELECT feature_id, ridx, seq, x::BIGINT AS x, y::BIGINT AS y FROM verts0),
+firsts AS (SELECT feature_id, ridx, x AS x0, y AS y0 FROM verts WHERE seq = 0),
+pairs AS (
+  SELECT a.feature_id, a.ridx, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM verts a JOIN verts b
+    ON a.feature_id = b.feature_id AND a.ridx = b.ridx AND b.seq = a.seq + 1),
+ringsum AS (
+  SELECT p.feature_id, p.ridx,
+         sum((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) AS a2
+  FROM pairs p JOIN firsts f USING (feature_id, ridx) GROUP BY 1, 2),
+ringarea AS (
+  SELECT feature_id,
+         CASE WHEN a2 + 1 >= 0 THEN (a2 + 1) // 2
+              ELSE -((-(a2 + 1)) // 2) END AS a
+  FROM ringsum)"""
+
+
 MINHASH_TOKS_CTE = (
     "toks AS (SELECT DISTINCT doc_id, tok FROM "
     "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "

@@ -1,0 +1,112 @@
+"""Routing graph + contraction-hierarchy tests.
+
+The correctness bar (SURVEY.md §5.3): CH query distances equal plain
+Dijkstra on the original extracted graph, for sampled source/target
+pairs — contraction preserves shortest paths exactly.  Exercised both
+through the hybrid path (distributed independent-set rounds + driver
+local finish) and the pure-local path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from osm_spark import fixtures as FX
+from osm_spark.operators import routing as RT
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes, refs = FX.road_network_dfs(spark, grid=6)
+    edges = RT.extract_edges(refs, nodes)
+    rows = [(r.src, r.dst, r.weight) for r in edges.collect()]
+    return edges, rows
+
+
+def _check_distances(ch_rows, rows, n_sources=5, n_targets=5, seed=7):
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    rng = np.random.RandomState(seed)
+    for s in rng.choice(nodes, size=n_sources, replace=False):
+        ref = RT.dijkstra_ref(rows, int(s))
+        for t in rng.choice(nodes, size=n_targets, replace=False):
+            got = RT.ch_query(ch_rows, int(s), int(t))
+            want = ref.get(int(t), np.inf)
+            assert got == pytest.approx(want, rel=1e-9), (s, t)
+
+
+def test_extract_edges_shape(graph):
+    edges, rows = graph
+    assert edges.columns == ["src", "dst", "weight", "length_mm"]
+    assert len(rows) > 100
+    # one-way ways produce single-direction edges: asymmetric pairs exist
+    pairs = {(s, d) for s, d, _ in rows}
+    assert [(s, d) for (s, d) in pairs if (d, s) not in pairs]
+    assert min(w for _, _, w in rows) > 0
+
+
+def test_contraction_local_preserves_distances(graph):
+    """Pure driver-local CH (graph below threshold from the start)."""
+    edges, rows = graph
+    res = RT.contract(edges.select("src", "dst", "weight"))
+    ch_rows = [(r.src, r.dst, r.weight, r.rank_src, r.rank_dst)
+               for r in res.edges.collect()]
+    assert res.metrics[-1]["local_finish"]
+    _check_distances(ch_rows, rows)
+
+
+def test_contraction_hybrid_preserves_distances(spark, graph, tmp_path):
+    """Distributed rounds + local finish, checkpointed."""
+    edges, rows = graph
+    res = RT.contract(edges.select("src", "dst", "weight"),
+                      checkpoint_dir=str(tmp_path / "ch"),
+                      local_threshold=120)
+    dist_rounds = [m for m in res.metrics if not m.get("local_finish")]
+    assert len(dist_rounds) >= 1
+    assert all(m["checkpoint_bytes"] > 0 for m in dist_rounds)
+    assert res.metrics[-1]["local_finish"]
+    ch_rows = [(r.src, r.dst, r.weight, r.rank_src, r.rank_dst)
+               for r in res.edges.collect()]
+    _check_distances(ch_rows, rows, n_sources=4, n_targets=4, seed=11)
+
+
+def test_contraction_resume(spark, graph, tmp_path):
+    edges, rows = graph
+    ck = tmp_path / "ch_resume"
+    partial = RT.contract(edges.select("src", "dst", "weight"),
+                          checkpoint_dir=str(ck), max_rounds=2,
+                          local_threshold=0, finish_local=False)
+    assert partial.rounds == 2
+    lines = [json.loads(x) for x in
+             (ck / "metrics.jsonl").read_text().splitlines()]
+    assert [m["round"] for m in lines] == [0, 1]
+    assert all(m["complete"] for m in lines)
+
+    # resume from round 2, finish locally; distances still exact
+    full = RT.contract(edges.select("src", "dst", "weight"),
+                       checkpoint_dir=str(ck), local_threshold=120)
+    assert full.metrics[0]["round"] == 0  # history retained
+    assert full.metrics[-1]["local_finish"]
+    ch_rows = [(r.src, r.dst, r.weight, r.rank_src, r.rank_dst)
+               for r in full.edges.collect()]
+    ref = RT.dijkstra_ref(rows, 0)
+    for t in (1, 7, 17, 35):
+        assert RT.ch_query(ch_rows, 0, t) == pytest.approx(
+            ref.get(t, np.inf), rel=1e-9)
+
+    # second resume short-circuits via the final checkpoint
+    again = RT.contract(edges.select("src", "dst", "weight"),
+                        checkpoint_dir=str(ck))
+    assert again.edges.count() == full.edges.count()
+
+
+def test_contraction_all_ranked_no_equal_rank_edges(graph):
+    edges, _ = graph
+    res = RT.contract(edges.select("src", "dst", "weight"))
+    n_nodes = (
+        edges.select("src").union(edges.select("dst")).distinct().count()
+    )
+    assert res.ranks.count() == n_nodes
+    assert res.edges.filter("rank_src = rank_dst").count() == 0
