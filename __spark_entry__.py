@@ -21,6 +21,7 @@ from osm_spark import fixtures as FX
 from osm_spark import oracle_sql as OSQL
 from osm_spark.operators import dedup as D
 from osm_spark.operators import geomops as GM
+from osm_spark.operators import multipolygon as MP
 from osm_spark.operators import relational as R
 from osm_spark.operators import routing as RT
 from osm_spark.operators import similarity as SIM
@@ -243,6 +244,33 @@ def q_g12_dp(spark, sf):  # rows-only (recursive DP not SQL-expressible)
     return GM.feature_dp_counts(_city_polys_df(spark), ratio=T.band_params(10)[1])
 
 
+def q_g20_mp_assembly(spark, sf):  # rows-only (endpoint chaining is iterative)
+    members_df, refs_df, nodes_df = FX.relation_tables_dfs(spark)
+    m = MP.gather_members(members_df, refs_df, nodes_df)
+    out = MP.assemble_multipolygons(m)
+    return out.select(
+        "relation", "ring_idx", "role", "parent", "n_ways",
+        F.size("lats").alias("n_pts"),
+        F.element_at("lats", 1).alias("lat0"),
+        F.element_at("lons", 1).alias("lon0"),
+    )
+
+
+def q_g20_polygon_tags(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rel_tags = c.select(F.col("c_custkey").alias("relation"),
+                        F.lit("seg").alias("key"),
+                        F.col("c_mktsegment").alias("val"))
+    way_tags = li.select(F.col("l_orderkey").alias("way"),
+                         F.lit("rf").alias("key"),
+                         F.col("l_returnflag").alias("val")).distinct()
+    outer = o.select(F.col("o_custkey").alias("relation"),
+                     F.col("o_orderkey").alias("way"))
+    return MP.polygon_tags(rel_tags, way_tags, outer)
+
+
 def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
     nodes, refs = FX.road_network_dfs(spark, grid=6)
     edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
@@ -324,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g01_distance": q_g01_distance,
         "g08_area": q_g08_area,
         "g12_dp": q_g12_dp,
+        "g20_mp_assembly": q_g20_mp_assembly,
+        "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
         "t_dedup_exact": q_t_dedup_exact,
         "t_token_count": q_t_token_count,
@@ -478,6 +508,22 @@ def oracle_sql() -> dict[str, str]:
         "g08_area": f"""
             WITH {OSQL.shoelace_sql(100).lstrip()}
             SELECT feature_id, sum(a) AS area FROM ringarea GROUP BY feature_id""",
+        "g20_polygon_tags": """
+            WITH rel_tags AS (SELECT c_custkey AS relation, 'seg' AS key, c_mktsegment AS val FROM customer),
+            way_tags AS (SELECT DISTINCT l_orderkey AS way, 'rf' AS key, l_returnflag AS val FROM lineitem),
+            outer_ways AS (SELECT o_custkey AS relation, o_orderkey AS way FROM orders),
+            n_outer AS (SELECT relation, count(*) AS n_ways FROM outer_ways GROUP BY relation),
+            common AS (
+              SELECT w.relation, t.key, t.val
+              FROM (SELECT * FROM outer_ways) w JOIN way_tags t USING (way)
+              GROUP BY w.relation, t.key, t.val
+              HAVING count(*) = (SELECT n_ways FROM n_outer n WHERE n.relation = w.relation)),
+            common_minus_rel AS (
+              SELECT c.* FROM common c
+              WHERE NOT EXISTS (SELECT 1 FROM rel_tags r WHERE r.relation = c.relation AND r.key = c.key))
+            SELECT relation, key, val FROM rel_tags
+            UNION ALL
+            SELECT relation, key, val FROM common_minus_rel""",
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",

@@ -232,6 +232,57 @@ def pages_df(spark, n: int):
 
 
 # ---------------------------------------------------------------------------
+# multipolygon relations (normalized base tables, reference schema)
+
+
+def relation_tables():
+    """Split the city polygons into member ways over shared nodes.
+
+    Returns (relation_members, way_refs, nodes) row lists in the
+    reference's normalized base schema (SURVEY.md §1.2):
+    relation_members(relation, way, role_str), way_refs(way, seq, node),
+    nodes(node, lat, lon).  Each ring is cut into 2-4 ways at
+    deterministic points; every 3rd way is direction-reversed so the
+    assembler's endpoint chaining is exercised both ways.
+    """
+    members, refs, nodes = [], [], []
+    node_id = 0
+    way_id = 0
+    for p in city_polygons():
+        rel = p["feature_id"]
+        for r in p["rings"]:
+            la, lo = r["lat"][:-1], r["lon"][:-1]  # open ring, n unique verts
+            n = len(la)
+            ring_node_ids = list(range(node_id, node_id + n))
+            for nid, a, b in zip(ring_node_ids, la, lo):
+                nodes.append((nid, a, b))
+            node_id += n
+            n_ways = 2 + (rel + r["role"]) % 3
+            cuts = sorted({(k * n) // n_ways for k in range(n_ways)})
+            cuts.append(n)
+            role_str = "outer" if r["role"] == 0 else "inner"
+            for k in range(len(cuts) - 1):
+                seg = list(range(cuts[k], cuts[k + 1] + 1))
+                seg_nodes = [ring_node_ids[i % n] for i in seg]
+                if way_id % 3 == 2:
+                    seg_nodes = seg_nodes[::-1]
+                for s, nid in enumerate(seg_nodes):
+                    refs.append((way_id, s, nid))
+                members.append((rel, way_id, role_str))
+                way_id += 1
+    return members, refs, nodes
+
+
+def relation_tables_dfs(spark):
+    members, refs, nodes = relation_tables()
+    return (
+        spark.createDataFrame(members, "relation long, way long, role string"),
+        spark.createDataFrame(refs, "way long, seq int, node long"),
+        spark.createDataFrame(nodes, "node long, lat long, lon long"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # road network (routing fixtures)
 
 
