@@ -31,6 +31,7 @@ from osm_spark.operators.geocode import geocode_ids, geocode_pages
 from osm_spark.operators.knn import knn_join
 from osm_spark.operators.spatial_join import spatial_join
 from osm_spark.pages_view import documents_as_pages
+from osm_spark.streaming import events as SE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -281,6 +282,35 @@ def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
     )
 
 
+# --- streaming ---------------------------------------------------------
+
+
+def _events_stream_dir(sf: str) -> str:
+    """File-source directory for the events table (symlinked once)."""
+    import os
+    from pathlib import Path
+
+    d = Path(__file__).resolve().parent / "data" / (
+        "stream_" + sf.strip("/").replace("/", "_"))
+    d.mkdir(parents=True, exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(f"{sf}/events.parquet", link)
+    return str(d)
+
+
+def q_stream_window_counts(spark, sf):
+    import uuid
+
+    stream = SE.read_events_stream(spark, _events_stream_dir(sf))
+    return SE.run_available_now(
+        SE.windowed_counts(stream), f"win_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def q_stream_sessionize(spark, sf):
+    return SE.sessionize_batch(_t(spark, sf, "events"), gap_s=28800)
+
+
 # --- text / dedup / similarity ------------------------------------------
 
 
@@ -355,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_mp_assembly": q_g20_mp_assembly,
         "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_sessionize": q_stream_sessionize,
         "t_dedup_exact": q_t_dedup_exact,
         "t_token_count": q_t_token_count,
         "t_quality": q_t_quality,
@@ -524,6 +556,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, key, val FROM rel_tags
             UNION ALL
             SELECT relation, key, val FROM common_minus_rel""",
+        "stream_window_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2""",
+        "stream_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM g)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   sum(cents) AS sum_cents
+            FROM s GROUP BY user_id, session_no""",
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",

@@ -1,0 +1,76 @@
+"""Structured Streaming parity tests: streaming results over a closed
+input must equal the batch twin (SURVEY.md §2.4 — streaming surface)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.streaming import events as SE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_cents)
+        for r in SE.windowed_counts(batch).collect()
+    }
+    stream = SE.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got_df = SE.run_available_now(
+        SE.windowed_counts(stream), "t_win_counts", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_cents)
+        for r in got_df.collect()
+    }
+    assert got == want
+    assert len(got) > 10
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
+    gap = 28800  # 8h; median per-user gap in fixture is ~7.3h
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bt = SE.sessionize_batch(batch, gap_s=gap)
+    # drop each user's final session: the stream can't close it without
+    # a watermark advance past its timeout (bounded single-batch input)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed_batch = bt.withColumn("last_start", F.max("session_start").over(w)) \
+        .filter(F.col("session_start") != F.col("last_start"))
+    want = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+            for r in closed_batch.collect()}
+
+    stream = SE.read_events_stream(spark, events_dir)
+    got_df = SE.run_available_now(
+        SE.sessionize(stream, gap_s=gap), "t_sessions", "append")
+    got = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+           for r in got_df.collect()}
+    assert want, "fixture should produce closed sessions"
+    assert want <= got  # stream may close more if watermark advanced
+    # and everything the stream emitted is a true batch session
+    all_batch = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+                 for r in bt.collect()}
+    assert got <= all_batch
+
+
+def test_sessionize_batch_properties(spark):
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sess = SE.sessionize_batch(batch, gap_s=28800)
+    agg = sess.agg(F.sum("n_events").alias("n"),
+                   F.sum("sum_cents").alias("c")).first()
+    raw = batch.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")).first()
+    assert (agg.n, agg.c) == (raw.n, raw.c)  # partition of all events
