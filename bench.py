@@ -25,7 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 PAGES_PER_SF = 2_000_000
-N_SMALL_POLYS = 1500
+N_SMALL_POLYS = int(os.environ.get("SPARK_GRAFT_POLYS", 1500))
 
 
 def sf_of(sf_dir: str) -> float:
@@ -34,22 +34,18 @@ def sf_of(sf_dir: str) -> float:
 
 
 def ensure_pages(spark, sf: float) -> str:
-    """Deterministic pages parquet for this sf (cached)."""
-    n = max(int(PAGES_PER_SF * sf), 1000)
+    """Deterministic pages parquet for this sf (cached), generated on the
+    executors (mapInPandas over spark.range — no driver materialization).
+    $SPARK_GRAFT_PAGES overrides the row count (scaling runs use a
+    larger, compute-dominated size on the same sf input)."""
+    n = int(os.environ.get("SPARK_GRAFT_PAGES", 0)) or max(int(PAGES_PER_SF * sf), 1000)
     out = Path(__file__).resolve().parent / "data" / f"bench_pages_{n}"
     marker = out / "_SUCCESS"
     if not marker.exists():
         from osm_spark import fixtures as FX
 
-        # generate in deterministic chunks to bound driver memory
-        chunk = 250_000
-        writer_mode = "overwrite"
-        for start in range(0, n, chunk):
-            import pandas as pd  # noqa: F401
-
-            pdf = FX.generate_pages_range(start, min(start + chunk, n))
-            spark.createDataFrame(pdf).repartition(8).write.mode(writer_mode).parquet(str(out))
-            writer_mode = "append"
+        parts = max(n // 50_000, 8)
+        FX.pages_df_distributed(spark, n, parts).write.mode("overwrite").parquet(str(out))
     return str(out)
 
 
@@ -70,7 +66,13 @@ def main():
     pages_path = ensure_pages(spark, sf)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
-    polys = FX.polygons_df(spark, N_SMALL_POLYS)
+    # polygon layer stored as a table (realistic: layers live in parquet/
+    # Iceberg, not a driver-local relation)
+    polys_path = Path(__file__).resolve().parent / "data" / f"bench_polys_{N_SMALL_POLYS}"
+    if not (polys_path / "_SUCCESS").exists():
+        FX.polygons_df(spark, N_SMALL_POLYS).repartition(64).write.mode(
+            "overwrite").parquet(str(polys_path))
+    polys = spark.read.parquet(str(polys_path))
 
     timings: dict[str, float] = {}
 
@@ -81,6 +83,9 @@ def main():
         return res
 
     geo = geocode_pages(pages).select("page_id", "url", "lat", "lon")
+
+    # untimed warm-up: spin up python workers + JIT on a small slice
+    spatial_join(geo.limit(2000), polys, how="left").count()
 
     # q1: spatial join (broadcast PIP) — count matches
     run("spatial_join", lambda: spatial_join(geo, polys, how="left").count())

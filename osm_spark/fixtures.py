@@ -231,6 +231,29 @@ def pages_df(spark, n: int):
     return spark.createDataFrame(pdf)
 
 
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+def pages_df_distributed(spark, n: int, partitions: int = 64):
+    """Deterministic pages table generated ON THE EXECUTORS: mapInPandas
+    over spark.range — no driver-side materialization, scales to any n.
+    Row i is identical to generate_pages_range(i, i+1)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                lo, hi = int(ids.min()), int(ids.max())
+                full = generate_pages_range(lo, hi + 1)
+                yield full.iloc[ids - lo]
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, PAGES_SCHEMA)
+    )
+
+
 # ---------------------------------------------------------------------------
 # multipolygon relations (normalized base tables, reference schema)
 

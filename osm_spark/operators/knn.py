@@ -52,6 +52,69 @@ def cell_min_extent(cell_zoom: int, lat_min_fp: int, lat_max_fp: int) -> int:
     return min(h, w)
 
 
+BROADCAST_FEATURE_LIMIT = 200_000
+
+
+def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
+                  key: str = "page_id", chunk: int = 4096) -> DataFrame:
+    """Exact kNN in one mapInPandas pass: the feature array ships to each
+    executor once; distances + top-k run vectorized in numpy per batch.
+    Zero shuffles, zero joins — the right plan whenever the feature layer
+    fits in executor memory (~<=200k rows).  Chunked so the distance
+    matrix stays ~chunk×n_features int64."""
+    import pandas as pd
+
+    rows = features.select("feature_id", "lat", "lon").collect()
+    fid = np.array([r.feature_id for r in rows], np.int64)
+    fla = np.array([r.lat for r in rows], np.int64)
+    flo = np.array([r.lon for r in rows], np.int64)
+    # deterministic tie-break (dist2, feature_id): pre-sort by id so that
+    # stable kind='stable' argsort resolves equal distances by id
+    o = np.argsort(fid, kind="stable")
+    fid, fla, flo = fid[o], fla[o], flo[o]
+    bc = points.sparkSession.sparkContext.broadcast((fid, fla, flo))
+    kk = min(k, len(fid))
+
+    def fn(batches):
+        f_id, f_la, f_lo = bc.value
+        for pdf in batches:
+            keys = pdf.iloc[:, 0].to_numpy()
+            la = pdf["lat"].to_numpy(np.int64)
+            lo = pdf["lon"].to_numpy(np.int64)
+            outs = []
+            for s in range(0, len(keys), chunk):
+                e = min(s + chunk, len(keys))
+                d2 = (la[s:e, None] - f_la[None, :]) ** 2 \
+                    + (lo[s:e, None] - f_lo[None, :]) ** 2
+                if kk < d2.shape[1]:
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(d2.shape[1]),
+                                           (e - s, d2.shape[1])).copy()
+                pd2 = np.take_along_axis(d2, part, axis=1)
+                # final (dist2, feature_id) order within the k candidates
+                ordk = np.lexsort((f_id[part], pd2), axis=1)
+                part = np.take_along_axis(part, ordk, axis=1)
+                pd2 = np.take_along_axis(pd2, ordk, axis=1)
+                n = e - s
+                outs.append(pd.DataFrame({
+                    "k": np.repeat(keys[s:e], kk),
+                    "feature_id": f_id[part].ravel(),
+                    "dist2": pd2.ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame({
+                "k": pd.array([], dtype="int64"),
+                "feature_id": pd.array([], dtype="int64"),
+                "dist2": pd.array([], dtype="int64"),
+                "rank": pd.array([], dtype="int32"),
+            })
+
+    return points.select(key, "lat", "lon").mapInPandas(
+        fn, "k long, feature_id long, dist2 long, rank int"
+    ).withColumnRenamed("k", key)
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,
@@ -60,12 +123,22 @@ def knn_join(
     radius: int = 2,
     key: str = "page_id",
     exact: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """k nearest features (feature_id, flat, flon) for each point.
 
-    Returns (key, feature_id, dist2, rank).  ``exact=True`` adds the
-    brute-force fallback pass for points the cell bound cannot certify.
-    """
+    Returns (key, feature_id, dist2, rank).  ``strategy='auto'`` picks
+    the broadcast-brute mapInPandas kernel when the feature layer is
+    small enough to ship (exact, shuffle-free); the cell-ring candidate
+    path (reference rtree.ml:209-258 analog) otherwise.  ``exact=True``
+    adds the brute-force fallback pass for points the cell bound cannot
+    certify."""
+    if strategy == "broadcast" or (
+        strategy == "auto"
+        and features.limit(BROADCAST_FEATURE_LIMIT + 1).count()
+        <= BROADCAST_FEATURE_LIMIT
+    ):
+        return knn_broadcast(points, features, k, key)
     pts = with_cell(points.select(key, "lat", "lon"), cell_zoom)
     feats = with_cell(features.select("feature_id", "lat", "lon"), cell_zoom).select(
         "feature_id", F.col("lat").alias("flat"), F.col("lon").alias("flon"), "cx", "cy"

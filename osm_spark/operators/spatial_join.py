@@ -163,6 +163,87 @@ def _pip_verify(cand: DataFrame, page_key: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# broadcast path: cell-indexed PIP in one mapInPandas pass
+
+def build_cell_index(poly_rows, z: int):
+    """Driver-side cell index of a collected polygon layer:
+    (polys, cell→poly-idx list).  The in-memory analog of the R-tree the
+    reference scans per viewport (rtree.ml:173-195): bbox registration
+    per covering cell, exact PIP at query time."""
+    polys = []
+    cell_map: dict[tuple[int, int], list[int]] = {}
+    for i, r in enumerate(poly_rows):
+        rings = [
+            (int(ring["role"]),
+             np.asarray(ring["lat"], np.int64),
+             np.asarray(ring["lon"], np.int64))
+            for ring in r["rings"]
+        ]
+        polys.append((int(r["feature_id"]), rings))
+        la = np.concatenate([rg[1] for rg in rings])
+        lo = np.concatenate([rg[2] for rg in rings])
+        cx0 = int(K.tile_x(lo.min(), z)); cx1 = int(K.tile_x(lo.max(), z))
+        cy0 = int(K.tile_y_float(la.max(), z)); cy1 = int(K.tile_y_float(la.min(), z))
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                cell_map.setdefault((cx, cy), []).append(i)
+    return polys, cell_map
+
+
+def _pip_points_vs_poly(xv, yv, rings):
+    """Match mask of points (lon=xv, lat=yv) vs one polygon with holes."""
+    in_outer = np.zeros(len(xv), dtype=bool)
+    in_hole = np.zeros(len(xv), dtype=bool)
+    for role, rla, rlo in rings:
+        hit = K.points_in_ring(xv, yv, rlo, rla)
+        if role == 0:
+            in_outer |= hit
+        else:
+            in_hole |= hit
+    return in_outer & ~in_hole
+
+
+def _broadcast_join_mapper(bc, z: int, how: str):
+    def fn(batches):
+        polys, cell_map = bc.value
+        for pdf in batches:
+            keys = pdf.iloc[:, 0].to_numpy()
+            la = pdf["lat"].to_numpy(np.int64)
+            lo = pdf["lon"].to_numpy(np.int64)
+            cx = (lo + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+            cy = K.tile_y_float(la, z)
+            cell_key = (cx << 32) | cy
+            order = np.argsort(cell_key, kind="stable")
+            out_keys, out_fids = [], []
+            matched = np.zeros(len(keys), dtype=bool)
+            uniq, starts = np.unique(cell_key[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+                cands = cell_map.get((int(u >> 32), int(u & 0xFFFFFFFF)))
+                if not cands:
+                    continue
+                ii = order[s0:s1]
+                for pi in cands:
+                    fid, rings = polys[pi]
+                    m = _pip_points_vs_poly(lo[ii], la[ii], rings)
+                    if m.any():
+                        hits = ii[m]
+                        matched[hits] = True
+                        out_keys.extend(keys[hits].tolist())
+                        out_fids.extend([fid] * len(hits))
+            if how == "left":
+                miss = keys[~matched]
+                out_keys.extend(miss.tolist())
+                out_fids.extend([None] * len(miss))
+            yield pd.DataFrame({
+                "k": pd.array(out_keys, dtype="Int64"),
+                "feature_id": pd.array(out_fids, dtype="Int64"),
+            })
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # top-level joins
 
 
@@ -180,17 +261,28 @@ def spatial_join(
     Returns (page_key, feature_id); ``how='left'`` keeps unmatched pages
     with NULL feature_id (outer-default semantics, database/join.ml:35-57).
 
-    ``broadcast_polys`` — small/medium layers: ships the exploded
-    (cell → polygon) index to every executor; no shuffle of the pages at
-    all.  ``salt`` — for the shuffle path with hot cells: replicates each
-    polygon-cell row ``salt`` ways and spreads pages across replicas.
+    ``broadcast_polys`` — small/medium layers: ships a (cell → polygon)
+    index to every executor once and PIP-tags pages in a single
+    mapInPandas pass — zero shuffles, zero joins, rings serialized once
+    per executor instead of once per candidate pair.  ``salt`` — for the
+    shuffle path with hot cells: replicates each polygon-cell row
+    ``salt`` ways and spreads pages across replicas.
     """
+    if broadcast_polys:
+        spark = pages.sparkSession
+        index = build_cell_index(
+            polys.select("feature_id", "rings").collect(), z)
+        bc = spark.sparkContext.broadcast(index)
+        out = pages.select(page_key, "lat", "lon").mapInPandas(
+            _broadcast_join_mapper(bc, z, how),
+            f"k long, feature_id long",
+        ).withColumnRenamed("k", page_key)
+        return out
+
     pts = with_cell(pages.select(page_key, "lat", "lon"), z)
     cells = polygon_cells(polys.select("feature_id", "rings"), z)
 
-    if broadcast_polys:
-        cand = pts.join(F.broadcast(cells), ["cx", "cy"], "inner")
-    elif salt and salt > 1:
+    if salt and salt > 1:
         pts_s = pts.withColumn("salt", F.pmod(F.xxhash64(page_key), F.lit(salt)))
         cells_s = cells.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -49,21 +49,23 @@ SMALL_AREA = math.trunc(8.0 * (1e7 / (256.0 / 360.0 * 2.0**15.5)) ** 2)
 
 def page_tiles(pages_geo: DataFrame, zooms: Iterable[int] = ZOOM_BANDS,
                key: str = "page_id") -> DataFrame:
-    """(key, z, x, y) for each zoom; x integer-exact, y via mercator UDF."""
-    parts = []
-    for z in zooms:
-        parts.append(
-            pages_geo.select(
-                F.col(key),
-                F.lit(z).alias("z"),
-                tile_x_col("lon", z).alias("x"),
-                tile_y_udf(z)(F.col("lat")).alias("y"),
-            )
+    """(key, z, x, y) for each zoom; x integer-exact, y via mercator UDF.
+
+    Single scan: all zooms are computed in one projection (the per-zoom
+    pandas UDFs share one Arrow round-trip) and exploded JVM-side —
+    at scale this is one pass over the pages instead of len(zooms)."""
+    structs = [
+        F.struct(
+            F.lit(z).alias("z"),
+            tile_x_col("lon", z).alias("x"),
+            tile_y_udf(z)(F.col("lat")).alias("y"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for z in zooms
+    ]
+    return (
+        pages_geo.select(F.col(key), F.explode(F.array(*structs)).alias("t"))
+        .select(key, "t.z", "t.x", "t.y")
+    )
 
 
 def tile_y_rows_df(spark: SparkSession, z: int, lat_min_fp: int, lat_max_fp: int) -> DataFrame:
