@@ -21,6 +21,7 @@ from osm_spark import fixtures as FX
 from osm_spark import oracle_sql as OSQL
 from osm_spark.operators import dedup as D
 from osm_spark.operators import geomops as GM
+from osm_spark.operators import linear as LN
 from osm_spark.operators import multipolygon as MP
 from osm_spark.operators import relational as R
 from osm_spark.operators import routing as RT
@@ -272,6 +273,18 @@ def q_g20_polygon_tags(spark, sf):
     return MP.polygon_tags(rel_tags, way_tags, outer)
 
 
+def q_l_linear_tiles(spark, sf):  # rows-only (DP + float mercator rows)
+    return LN.linear_tiles(FX.roads_df(spark, 8), zooms=(8, 12))
+
+
+def q_g13_clip(spark, sf):  # rows-only (geometric splitting)
+    out = LN.clip_lines_at(FX.roads_df(spark, 8), FX.LON0 + FX.SPAN // 2)
+    return out.select("way_id", "category", "side", "piece",
+                      F.size("lats").alias("n_pts"),
+                      F.element_at("lons", 1).alias("lon_first"),
+                      F.element_at("lons", -1).alias("lon_last"))
+
+
 def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
     nodes, refs = FX.road_network_dfs(spark, grid=6)
     edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
@@ -385,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_mp_assembly": q_g20_mp_assembly,
         "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
+        "l_linear_tiles": q_l_linear_tiles,
+        "g13_clip": q_g13_clip,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
         "t_dedup_exact": q_t_dedup_exact,

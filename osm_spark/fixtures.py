@@ -350,6 +350,26 @@ def road_network(grid: int = 8):
     return nodes, refs
 
 
+def roads_df(spark, grid: int = 8):
+    """Linear-feature table (way_id, category, layer, lats, lons) from
+    the road-network fixture (one polyline per way)."""
+    nodes, refs = road_network(grid)
+    coords = {nid: (la, lo) for nid, la, lo in nodes}
+    ways: dict[int, dict] = {}
+    for wid, seq, nid, cat, _ow in refs:
+        w = ways.setdefault(wid, {"cat": cat, "pts": []})
+        w["pts"].append((seq, *coords[nid]))
+    rows = []
+    for wid, w in sorted(ways.items()):
+        pts = sorted(w["pts"])
+        rows.append((wid, w["cat"], wid % 5 - 2,
+                     [p[1] for p in pts], [p[2] for p in pts]))
+    return spark.createDataFrame(
+        rows,
+        "way_id long, category int, layer int, lats array<long>, lons array<long>",
+    )
+
+
 def road_network_dfs(spark, grid: int = 8):
     nodes, refs = road_network(grid)
     nodes_df = spark.createDataFrame(nodes, "node_id long, lat long, lon long")
