@@ -22,7 +22,9 @@ from osm_spark import oracle_sql as OSQL
 from osm_spark.operators import dedup as D
 from osm_spark.operators import geomops as GM
 from osm_spark.operators import linear as LN
+from osm_spark.operators import multimodal as MM
 from osm_spark.operators import multipolygon as MP
+from osm_spark.operators.cluster import with_hilbert_key
 from osm_spark.operators import relational as R
 from osm_spark.operators import routing as RT
 from osm_spark.operators import similarity as SIM
@@ -295,6 +297,36 @@ def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
     )
 
 
+def q_g22_viewport(spark, sf):
+    docs = _geo_docs(spark, sf)
+    rows = T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN)
+    tiles = T.page_tiles_exact(docs, rows, key="doc_id").withColumn(
+        "z", F.col("z").cast("int"))
+    clat, clon = FX.CITY_CENTERS[2]
+    r = FX.CITY_RADII[2]
+    return T.viewport_query(tiles, 12, clat - r, clat + r, clon - r, clon + r)
+
+
+def q_g10_hilbert(spark, sf):  # rows-only (table-free Hilbert rotation)
+    return with_hilbert_key(_geo_docs(spark, sf)).select("doc_id", "hkey")
+
+
+def q_s_near_dup(spark, sf):
+    return SIM.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def q_mm_byte_hist(spark, sf):  # rows-only (sha-derived payload)
+    media = MM.attach_fake_media(_t(spark, sf, "documents"))
+    return MM.byte_histogram_features(media).select(
+        "doc_id", F.col("features").cast("array<long>").alias("features"))
+
+
+def q_mm_frames(spark, sf):  # rows-only (binary payload slicing)
+    media = MM.attach_fake_media(_t(spark, sf, "documents").limit(200))
+    fr = MM.sample_frames(media, n_frames=4, frame_bytes=32)
+    return fr.select("doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5"))
+
+
 # --- streaming ---------------------------------------------------------
 
 
@@ -399,6 +431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
         "l_linear_tiles": q_l_linear_tiles,
+        "g22_viewport": q_g22_viewport,
+        "g10_hilbert": q_g10_hilbert,
+        "s_near_dup": q_s_near_dup,
+        "mm_byte_hist": q_mm_byte_hist,
+        "mm_frames": q_mm_frames,
         "g13_clip": q_g13_clip,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
@@ -417,6 +454,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # oracle SQL
+
+
+def _viewport_oracle_sql() -> str:
+    clat, clon = FX.CITY_CENTERS[2]
+    r = FX.CITY_RADII[2]
+    x0, x1, y0, y1 = T.viewport_range(12, clat - r, clat + r, clon - r, clon + r)
+    return f"""
+        WITH {OSQL.PTS_CTE},
+        rows_(z, y, lat_hi, lat_lo) AS (VALUES {OSQL.tile_rows_values((12,))})
+        SELECT p.doc_id, r.z, {OSQL.tile_x_sql((12,))} AS x, r.y
+        FROM pts p JOIN rows_ r ON p.lat > r.lat_lo AND p.lat <= r.lat_hi
+        WHERE {OSQL.tile_x_sql((12,))} BETWEEN {x0} AND {x1}
+          AND r.y BETWEEN {y0} AND {y1}"""
 
 
 def _minhash_sig_sql():
@@ -571,6 +621,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, key, val FROM rel_tags
             UNION ALL
             SELECT relation, key, val FROM common_minus_rel""",
+        "g22_viewport": _viewport_oracle_sql(),
+        "s_near_dup": f"""
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS idx,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SIM.QUANT}) AS BIGINT) AS q
+              FROM embeddings),
+            norms AS (SELECT vec_id, sum(q * q) AS norm2 FROM comp GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.q * b.q) AS dot
+              FROM comp a JOIN comp b ON a.idx = b.idx AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            SELECT d.id_a, d.id_b,
+                   d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+            FROM dots d JOIN norms na ON na.vec_id = d.id_a
+                        JOIN norms nb ON nb.vec_id = d.id_b
+            WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4""",
         "stream_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    count(*) AS n,

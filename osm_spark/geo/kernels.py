@@ -179,6 +179,89 @@ def points_on_ring_boundary(x, y, px, py):
     ).any(axis=0)
 
 
+def segments_intersect(x1, y1, x2, y2, x3, y3, x4, y4):
+    """Proper/improper intersection test of segments (p1,p2) vs (p3,p4),
+    vectorized — integer cross-product orientation test including the
+    collinear-overlap case (/root/reference/osm/geometry.ml:63-104)."""
+    x1, y1, x2, y2, x3, y3, x4, y4 = (
+        np.asarray(v, np.int64) for v in (x1, y1, x2, y2, x3, y3, x4, y4))
+    d1 = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    d2 = (x2 - x1) * (y4 - y1) - (x4 - x1) * (y2 - y1)
+    d3 = (x4 - x3) * (y1 - y3) - (x1 - x3) * (y4 - y3)
+    d4 = (x4 - x3) * (y2 - y3) - (x2 - x3) * (y4 - y3)
+    proper = (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
+
+    def on_seg(px_, py_, ax, ay, bx, by, d):
+        return (d == 0) & (np.minimum(ax, bx) <= px_) & (px_ <= np.maximum(ax, bx)) \
+            & (np.minimum(ay, by) <= py_) & (py_ <= np.maximum(ay, by))
+
+    touch = (
+        on_seg(x3, y3, x1, y1, x2, y2, d1)
+        | on_seg(x4, y4, x1, y1, x2, y2, d2)
+        | on_seg(x1, y1, x3, y3, x4, y4, d3)
+        | on_seg(x2, y2, x3, y3, x4, y4, d4)
+    )
+    return proper | touch
+
+
+def midpoints_in_ring(x1, y1, x2, y2, px, py):
+    """PIP of segment midpoints at doubled coordinates — exact, no
+    division (/root/reference/osm/geometry.ml:176-209).  The ring is
+    doubled too so the parity test stays integer."""
+    mx = np.asarray(x1, np.int64) + np.asarray(x2, np.int64)
+    my = np.asarray(y1, np.int64) + np.asarray(y2, np.int64)
+    return points_in_ring(mx, my, 2 * np.asarray(px, np.int64),
+                          2 * np.asarray(py, np.int64))
+
+
+def ring_mostly_in_ring(qx, qy, px, py, quorum: float = 0.7) -> bool:
+    """Quorum containment: >= quorum of (qx,qy) vertices inside ring
+    (px,py) — the overlap-arbitration rule of
+    /root/reference/osm/geometry.ml:314-346 (polygon_mostly_in_polygon,
+    70% threshold used by multipolygons.ml:551-572)."""
+    qx = np.asarray(qx, np.int64)[:-1]  # drop closing dup
+    qy = np.asarray(qy, np.int64)[:-1]
+    inside = points_in_ring(qx, qy, px, py)
+    return bool(inside.sum() >= quorum * len(qx))
+
+
+def catmull_rom(xs, ys, n_sub: int = 8, alpha: float = 0.5):
+    """Centripetal Catmull-Rom smoothing of an open polyline
+    (/root/reference/osm/line_smoothing.ml:93-211, alpha=0.5) —
+    render-time operator; returns float arrays of the interpolated
+    curve through every input vertex."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) < 3:
+        return xs.copy(), ys.copy()
+    # pad endpoints
+    px = np.concatenate([[2 * xs[0] - xs[1]], xs, [2 * xs[-1] - xs[-2]]])
+    py = np.concatenate([[2 * ys[0] - ys[1]], ys, [2 * ys[-1] - ys[-2]]])
+    out_x, out_y = [xs[0]], [ys[0]]
+    for i in range(1, len(px) - 2):
+        p = np.stack([px[i - 1:i + 3], py[i - 1:i + 3]], axis=1)
+        d = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
+        t = np.concatenate([[0.0], np.cumsum(np.maximum(d, 1e-12) ** alpha)])
+        tq = np.linspace(t[1], t[2], n_sub + 1)[1:]
+        # recursive de Boor-style pyramid (standard centripetal CR)
+        def lerp(pa, pb, ta, tb):
+            w = ((tq - ta) / (tb - ta))[:, None]
+            return (1 - w) * pa[None, :] + w * pb[None, :]
+
+        a1 = lerp(p[0], p[1], t[0], t[1])
+        a2 = lerp(p[1], p[2], t[1], t[2])
+        a3 = lerp(p[2], p[3], t[2], t[3])
+        w12 = ((tq - t[0]) / (t[2] - t[0]))[:, None]
+        b1 = (1 - w12) * a1 + w12 * a2
+        w23 = ((tq - t[1]) / (t[3] - t[1]))[:, None]
+        b2 = (1 - w23) * a2 + w23 * a3
+        wc = ((tq - t[1]) / (t[2] - t[1]))[:, None]
+        c = (1 - wc) * b1 + wc * b2
+        out_x.extend(c[:, 0].tolist())
+        out_y.extend(c[:, 1].tolist())
+    return np.asarray(out_x), np.asarray(out_y)
+
+
 def polygon_area(px, py):
     """Anchored integer shoelace, ``(a+1)/2`` truncating (geometry.ml:211-226).
 

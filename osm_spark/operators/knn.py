@@ -56,7 +56,7 @@ BROADCAST_FEATURE_LIMIT = 200_000
 
 
 def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
-                  key: str = "page_id", chunk: int = 4096) -> DataFrame:
+                  key: str = "page_id", chunk: int = 0) -> DataFrame:
     """Exact kNN in one mapInPandas pass: the feature array ships to each
     executor once; distances + top-k run vectorized in numpy per batch.
     Zero shuffles, zero joins — the right plan whenever the feature layer
@@ -74,6 +74,10 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
     fid, fla, flo = fid[o], fla[o], flo[o]
     bc = points.sparkSession.sparkContext.broadcast((fid, fla, flo))
     kk = min(k, len(fid))
+    if not chunk:
+        # keep each distance block ~2 MB so 32 concurrent workers stay
+        # cache-resident instead of fighting for memory bandwidth
+        chunk = max(256, (2 << 20) // (8 * max(len(fid), 1)))
 
     def fn(batches):
         f_id, f_la, f_lo = bc.value

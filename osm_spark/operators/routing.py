@@ -131,9 +131,14 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
 
 _SIM_SCHEMA = (
     "node long, n_in int, n_out int, n_shortcuts int, orig_in_out int, "
-    "orig_shortcuts int, "
+    "orig_shortcuts int, deferred boolean, "
     "shortcuts array<struct<u:long, w:long, weight:double, orig:int>>"
 )
+
+# nodes above this degree skip witness simulation and are never picked by
+# the distributed rounds — hubs contract last (driver-local finish), the
+# standard CH practice; also caps the among-neighbours join at degree^2
+MAX_SIM_DEGREE = 64
 
 
 def _simulate_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -147,6 +152,12 @@ def _simulate_group(pdf: pd.DataFrame) -> pd.DataFrame:
     among = pdf[~pdf["is_incident"]]
     in_e = inc[inc["dst"] == v]        # u -> v
     out_e = inc[inc["src"] == v]       # v -> w
+    if len(in_e) + len(out_e) > MAX_SIM_DEGREE:
+        return pd.DataFrame({
+            "node": [v], "n_in": [len(in_e)], "n_out": [len(out_e)],
+            "n_shortcuts": [0], "orig_in_out": [0], "orig_shortcuts": [0],
+            "deferred": [True], "shortcuts": [[]],
+        })
     # adjacency of the neighbourhood subgraph, v excluded
     adj: dict[int, list[tuple[int, float]]] = {}
     for s, d, wt in zip(among["src"], among["dst"], among["weight"]):
@@ -189,6 +200,7 @@ def _simulate_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_shortcuts": [len(shortcuts)],
             "orig_in_out": [int(in_e["orig"].sum() + out_e["orig"].sum())],
             "orig_shortcuts": [int(sum(s[3] for s in shortcuts))],
+            "deferred": [False],
             "shortcuts": [shortcuts],
         }
     )
@@ -452,6 +464,7 @@ def contract(
         )
         selected = (
             prio.join(n_all, prio["node"] == n_all["v"], "left")
+            .filter(~F.col("deferred"))
             .filter(F.col("m2").isNull() | (F.col("key") <= F.col("m2")))
             .select("node", "shortcuts", "depth")
             .localCheckpoint()  # one action: full sim + selection

@@ -64,6 +64,31 @@ def cosine_topk(emb: DataFrame, k: int = 3, key: str = "vec_id",
     )
 
 
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.95,
+                    key: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine)
+    with cosine >= threshold.  Same exact quantized arithmetic as
+    cosine_topk so the pair set is engine-reproducible."""
+    comp = _quantized_components(emb, key, col)
+    norms = _norms(comp, key)
+    a = comp.select(F.col(key).alias("id_a"), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias("id_b"), "idx", F.col("q").alias("qb"))
+    dots = (
+        a.join(b, "idx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col(key).alias("id_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias("id_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -166,46 +166,62 @@ def _pip_verify(cand: DataFrame, page_key: str) -> DataFrame:
 # broadcast path: cell-indexed PIP in one mapInPandas pass
 
 def build_cell_index(poly_rows, z: int):
-    """Driver-side cell index of a collected polygon layer:
-    (polys, cell→poly-idx list).  The in-memory analog of the R-tree the
-    reference scans per viewport (rtree.ml:173-195): bbox registration
-    per covering cell, exact PIP at query time."""
-    polys = []
-    cell_map: dict[tuple[int, int], list[int]] = {}
-    for i, r in enumerate(poly_rows):
+    """Driver-side cell index of a collected polygon layer — the
+    in-memory analog of the R-tree the reference scans per viewport
+    (rtree.ml:173-195): bbox registration per covering cell, exact PIP
+    at query time.
+
+    Per cell the candidate polygons' ring edges are packed into flat
+    int64 arrays so the query side runs ONE vectorized crossing-number
+    pass over (all edges in cell) × (all points in cell) — no per-polygon
+    Python calls in the hot loop:
+    cell → (exi, eyi, exj, eyj, ring_starts, ring_poly, ring_role, fids).
+    """
+    per_cell: dict[tuple[int, int], list] = {}
+    for r in poly_rows:
+        fid = int(r["feature_id"])
         rings = [
             (int(ring["role"]),
              np.asarray(ring["lat"], np.int64),
              np.asarray(ring["lon"], np.int64))
             for ring in r["rings"]
         ]
-        polys.append((int(r["feature_id"]), rings))
         la = np.concatenate([rg[1] for rg in rings])
         lo = np.concatenate([rg[2] for rg in rings])
         cx0 = int(K.tile_x(lo.min(), z)); cx1 = int(K.tile_x(lo.max(), z))
         cy0 = int(K.tile_y_float(la.max(), z)); cy1 = int(K.tile_y_float(la.min(), z))
         for cx in range(cx0, cx1 + 1):
             for cy in range(cy0, cy1 + 1):
-                cell_map.setdefault((cx, cy), []).append(i)
-    return polys, cell_map
+                per_cell.setdefault((cx, cy), []).append((fid, rings))
 
-
-def _pip_points_vs_poly(xv, yv, rings):
-    """Match mask of points (lon=xv, lat=yv) vs one polygon with holes."""
-    in_outer = np.zeros(len(xv), dtype=bool)
-    in_hole = np.zeros(len(xv), dtype=bool)
-    for role, rla, rlo in rings:
-        hit = K.points_in_ring(xv, yv, rlo, rla)
-        if role == 0:
-            in_outer |= hit
-        else:
-            in_hole |= hit
-    return in_outer & ~in_hole
+    index = {}
+    for cell, polys in per_cell.items():
+        exi, eyi, exj, eyj = [], [], [], []
+        ring_starts, ring_poly, ring_role, fids = [], [], [], []
+        pos = 0
+        for local, (fid, rings) in enumerate(polys):
+            fids.append(fid)
+            for role, rla, rlo in rings:
+                ring_starts.append(pos)
+                ring_poly.append(local)
+                ring_role.append(role)
+                exi.append(rlo[:-1]); exj.append(rlo[1:])
+                eyi.append(rla[:-1]); eyj.append(rla[1:])
+                pos += len(rla) - 1
+        index[cell] = (
+            np.concatenate(exi), np.concatenate(eyi),
+            np.concatenate(exj), np.concatenate(eyj),
+            np.asarray(ring_starts, np.int64),
+            np.asarray(ring_poly, np.int64),
+            np.asarray(ring_role, np.int64),
+            np.asarray(fids, np.int64),
+        )
+    return index
 
 
 def _broadcast_join_mapper(bc, z: int, how: str):
     def fn(batches):
-        polys, cell_map = bc.value
+        index = bc.value
         for pdf in batches:
             keys = pdf.iloc[:, 0].to_numpy()
             la = pdf["lat"].to_numpy(np.int64)
@@ -214,30 +230,64 @@ def _broadcast_join_mapper(bc, z: int, how: str):
             cy = K.tile_y_float(la, z)
             cell_key = (cx << 32) | cy
             order = np.argsort(cell_key, kind="stable")
-            out_keys, out_fids = [], []
+            out_k: list[np.ndarray] = []
+            out_f: list[np.ndarray] = []
             matched = np.zeros(len(keys), dtype=bool)
             uniq, starts = np.unique(cell_key[order], return_index=True)
             bounds = np.append(starts, len(order))
             for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
-                cands = cell_map.get((int(u >> 32), int(u & 0xFFFFFFFF)))
-                if not cands:
+                cell = index.get((int(u >> 32), int(u & 0xFFFFFFFF)))
+                if cell is None:
                     continue
-                ii = order[s0:s1]
-                for pi in cands:
-                    fid, rings = polys[pi]
-                    m = _pip_points_vs_poly(lo[ii], la[ii], rings)
-                    if m.any():
-                        hits = ii[m]
+                exi, eyi, exj, eyj, rstarts, rpoly, rrole, fids = cell
+                ii_all = order[s0:s1]
+                dx = (exj - exi)[:, None]
+                dy = (eyj - eyi)[:, None]
+                outer_rings = rrole == 0
+                n_local = len(fids)
+                # chunk points so the edges×points work set stays ~L2-
+                # resident (the kernel scales ~1.0 when cache-bound and
+                # collapses to DRAM bandwidth when not)
+                pchunk = max(64, (1 << 18) // max(len(exi), 1))
+                for cs in range(0, len(ii_all), pchunk):
+                    ii = ii_all[cs:cs + pchunk]
+                    x = lo[ii][None, :]
+                    y = la[ii][None, :]
+                    # crossing-number pass over all edges in the cell
+                    # (geometry.ml:157-174 tie rules, vectorized)
+                    pi = eyi[:, None] >= y
+                    pj = eyj[:, None] >= y
+                    cross = pi != pj
+                    d = dx * (y - eyi[:, None]) - (x - exi[:, None]) * dy
+                    toggle = (cross & ((d >= 0) != pi)).astype(np.int16)
+                    cnt = np.add.reduceat(toggle, rstarts, axis=0)
+                    inr = (cnt & 1).astype(bool)       # rings × points
+                    in_outer = np.zeros((n_local, len(ii)), dtype=bool)
+                    in_hole = np.zeros((n_local, len(ii)), dtype=bool)
+                    np.logical_or.at(in_outer, rpoly[outer_rings],
+                                     inr[outer_rings])
+                    np.logical_or.at(in_hole, rpoly[~outer_rings],
+                                     inr[~outer_rings])
+                    p_idx, pt_idx = np.nonzero(in_outer & ~in_hole)
+                    if len(p_idx):
+                        hits = ii[pt_idx]
                         matched[hits] = True
-                        out_keys.extend(keys[hits].tolist())
-                        out_fids.extend([fid] * len(hits))
+                        out_k.append(keys[hits])
+                        out_f.append(fids[p_idx])
+            n_miss = 0
             if how == "left":
                 miss = keys[~matched]
-                out_keys.extend(miss.tolist())
-                out_fids.extend([None] * len(miss))
+                n_miss = len(miss)
+                out_k.append(miss)
+                out_f.append(np.zeros(n_miss, np.int64))
+            kcat = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+            fcat = np.concatenate(out_f) if out_f else np.empty(0, np.int64)
+            mask = np.zeros(len(kcat), dtype=bool)
+            if n_miss:
+                mask[len(kcat) - n_miss:] = True  # NULL feature_id for misses
             yield pd.DataFrame({
-                "k": pd.array(out_keys, dtype="Int64"),
-                "feature_id": pd.array(out_fids, dtype="Int64"),
+                "k": kcat,
+                "feature_id": pd.arrays.IntegerArray(fcat, mask),
             })
 
     return fn
@@ -245,6 +295,16 @@ def _broadcast_join_mapper(bc, z: int, how: str):
 
 # ---------------------------------------------------------------------------
 # top-level joins
+
+
+def broadcast_polygon_index(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM):
+    """Collect + cell-index a polygon layer and broadcast it.  Build once
+    per layer version and reuse across joins — at 10^12 pages the build
+    cost amortizes to zero (the reference builds its R-tree once the
+    same way, rtree.ml:90-134)."""
+    spark = polys.sparkSession
+    index = build_cell_index(polys.select("feature_id", "rings").collect(), z)
+    return spark.sparkContext.broadcast(index)
 
 
 def spatial_join(
@@ -255,6 +315,7 @@ def spatial_join(
     broadcast_polys: bool = True,
     salt: int | None = None,
     page_key: str = "page_id",
+    index=None,
 ) -> DataFrame:
     """PIP-join pages (with lat/lon columns) to a polygon layer.
 
@@ -269,13 +330,10 @@ def spatial_join(
     ``salt`` ways and spreads pages across replicas.
     """
     if broadcast_polys:
-        spark = pages.sparkSession
-        index = build_cell_index(
-            polys.select("feature_id", "rings").collect(), z)
-        bc = spark.sparkContext.broadcast(index)
+        bc = index if index is not None else broadcast_polygon_index(polys, z)
         out = pages.select(page_key, "lat", "lon").mapInPandas(
             _broadcast_join_mapper(bc, z, how),
-            f"k long, feature_id long",
+            "k long, feature_id long",
         ).withColumnRenamed("k", page_key)
         return out
 

@@ -158,6 +158,29 @@ def feature_tile_spans(polys: DataFrame, zooms: tuple[int, ...] = ZOOM_BANDS) ->
     )
 
 
+def viewport_range(z: int, lat_min: int, lat_max: int,
+                   lon_min: int, lon_max: int) -> tuple[int, int, int, int]:
+    """Covering tile range (x0, x1, y0, y1) of a viewport bbox — the
+    driver-side half of the reference's draw_map R-tree selection
+    (osm/lib/osm_display.ml:1648-1710)."""
+    x0 = int(K.tile_x(lon_min, z))
+    x1 = int(K.tile_x(lon_max, z))
+    y0 = int(K.tile_y_float(lat_max, z))
+    y1 = int(K.tile_y_float(lat_min, z))
+    return x0, x1, y0, y1
+
+
+def viewport_query(tile_table: DataFrame, z: int, lat_min: int, lat_max: int,
+                   lon_min: int, lon_max: int) -> DataFrame:
+    """Select tile-table rows covering the viewport: a pure range filter
+    on (z, x, y) that parquet/Iceberg min-max stats prune when the table
+    is written partitioned/sorted by tile key (G22)."""
+    x0, x1, y0, y1 = viewport_range(z, lat_min, lat_max, lon_min, lon_max)
+    return tile_table.filter(
+        (F.col("z") == z)
+        & F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
+
+
 def feature_tiles(polys: DataFrame, zooms: tuple[int, ...] = ZOOM_BANDS) -> DataFrame:
     """Exploded (feature_id, band, z, x, y) tile assignment table."""
     spans = feature_tile_spans(polys, zooms)

@@ -1,0 +1,115 @@
+"""Hilbert clustering (storage pruning evidence) + multimodal plumbing
+tests + embedding near-dup oracle check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark import fixtures as FX
+from osm_spark.operators import multimodal as MM
+from osm_spark.operators import similarity as SIM
+from osm_spark.operators.cluster import cluster_by_hilbert, with_hilbert_key
+from osm_spark.operators.geocode import geocode_ids
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_geo(spark, n=2000):
+    return geocode_ids(
+        spark.range(n).withColumnRenamed("id", "doc_id"), "doc_id")
+
+
+def test_hilbert_key_locality(spark):
+    # neighbors in hilbert order are spatial neighbors: mean step
+    # distance under hilbert order far below random order
+    from osm_spark.geo import kernels as K
+
+    rows = _docs_geo(spark, 2000).collect()
+    la = np.array([r.lat for r in rows])
+    lo = np.array([r.lon for r in rows])
+    hk = K.hilbert_key(la, lo)
+    o = np.argsort(hk)
+    step_h = np.abs(np.diff(la[o])) + np.abs(np.diff(lo[o]))
+    step_r = np.abs(np.diff(la)) + np.abs(np.diff(lo))
+    assert step_h.mean() < step_r.mean() / 5
+
+
+def test_cluster_write_prunes_row_groups(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    cluster_by_hilbert(_docs_geo(spark, 20000), n_partitions=16) \
+        .write.mode("overwrite").parquet(out)
+    # per-file lat/lon extents must be tight: total covered area of the
+    # files' bboxes << global bbox * n_files (that's what min/max stats
+    # prune on)
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            cols = {md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)}
+            s_lat, s_lon = cols["lat"], cols["lon"]
+            spans.append((s_lat.max - s_lat.min) * (s_lon.max - s_lon.min))
+    world = FX.SPAN * FX.SPAN
+    assert len(spans) >= 8
+    assert sum(spans) < world * len(spans) / 4  # tight vs unclustered
+
+
+def test_near_dup_matches_numpy_oracle(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.id_a, r.id_b) for r in
+           SIM.cosine_near_dup(emb, threshold=0.8).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([np.floor(np.asarray(r.embedding, np.float64) * SIM.QUANT)
+                  for r in rows])
+    N = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = N @ N.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            if C[i, j] >= 0.8 - 1e-12:
+                want.add((a, b))
+    # float-boundary pairs may differ by epsilon; require near-equality
+    assert len(got ^ want) <= max(1, len(want) // 50)
+
+
+def test_multimodal_features_and_frames(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = MM.attach_fake_media(docs)
+    rows = media.collect()
+    assert {r.media_type for r in rows} <= {"image/png", "audio/wav", "video/mp4"}
+    assert all(len(bytes(r.media)) >= 512 for r in rows)
+
+    feats = MM.byte_histogram_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r.doc_id: r.features for r in feats}
+    # oracle one row
+    import hashlib
+
+    r0 = [r for r in docs.collect() if r.doc_id == rows[0].doc_id][0]
+    blob = bytes(rows[0].media)
+    want = np.bincount(np.frombuffer(blob, np.uint8) >> 4, minlength=16)
+    assert by_id[rows[0].doc_id] == want.tolist()
+    assert sum(by_id[rows[0].doc_id]) == len(blob)
+
+    frames = MM.sample_frames(media, n_frames=3, frame_bytes=32).collect()
+    assert len(frames) == 150
+    assert all(len(bytes(f.frame)) == 32 for f in frames)
+
+
+def test_decode_stub_raises_cleanly(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    media = MM.attach_fake_media(docs)
+    with pytest.raises(Exception) as ei:
+        MM.decode_and_resize(media, 8, 8).collect()
+    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)

@@ -1,0 +1,64 @@
+"""Unit tests for the remaining §2.2 kernels: segment intersection (G3),
+midpoint PIP (G7), quorum containment (G9), Catmull-Rom smoothing (G14).
+Pure numpy — no SparkSession needed."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_spark.geo import kernels as K
+
+
+def test_segments_intersect_cases():
+    # proper crossing
+    assert K.segments_intersect(0, 0, 10, 10, 0, 10, 10, 0).item()
+    # disjoint
+    assert not K.segments_intersect(0, 0, 1, 1, 5, 5, 6, 5).item()
+    # touching at an endpoint (improper) — counts, per geometry.ml:95-103
+    assert K.segments_intersect(0, 0, 5, 5, 5, 5, 9, 0).item()
+    # collinear overlap
+    assert K.segments_intersect(0, 0, 10, 0, 5, 0, 15, 0).item()
+    # collinear disjoint
+    assert not K.segments_intersect(0, 0, 4, 0, 5, 0, 9, 0).item()
+    # vectorized
+    r = K.segments_intersect(
+        [0, 0], [0, 0], [10, 1], [10, 1], [0, 5], [10, 5], [10, 6], [0, 5])
+    assert r.tolist() == [True, False]
+
+
+def test_midpoints_in_ring_exact_half_units():
+    ring_x = np.array([0, 10, 10, 0, 0])
+    ring_y = np.array([0, 0, 10, 10, 0])
+    # midpoint (0.5, 5) — inside; undoubled ints could not represent it
+    inside = K.midpoints_in_ring([0], [4], [1], [6], ring_x, ring_y)
+    assert inside.tolist() == [True]
+    outside = K.midpoints_in_ring([-3], [4], [-1], [6], ring_x, ring_y)
+    assert outside.tolist() == [False]
+
+
+def test_ring_mostly_in_ring_quorum():
+    outer_x = np.array([0, 100, 100, 0, 0])
+    outer_y = np.array([0, 0, 100, 100, 0])
+    # 3 of 4 vertices inside -> 75% >= 70%
+    q_x = np.array([10, 90, 90, 150, 10])
+    q_y = np.array([10, 10, 90, 150, 10])
+    assert K.ring_mostly_in_ring(q_x, q_y, outer_x, outer_y)
+    # 2 of 4 inside -> 50% < 70%
+    q_x2 = np.array([10, 90, 150, 150, 10])
+    q_y2 = np.array([10, 10, 150, 110, 10])
+    assert not K.ring_mostly_in_ring(q_x2, q_y2, outer_x, outer_y)
+
+
+def test_catmull_rom_interpolates_through_vertices():
+    xs = np.array([0, 10, 20, 30])
+    ys = np.array([0, 10, 0, 10])
+    ox, oy = K.catmull_rom(xs, ys, n_sub=4)
+    pts = set(zip(np.round(ox, 6), np.round(oy, 6)))
+    for x, y in zip(xs, ys):
+        assert (float(x), float(y)) in pts
+    assert len(ox) == 1 + 3 * 4  # start + n_sub per segment
+    # smooth: consecutive steps bounded (no wild oscillation)
+    assert np.abs(np.diff(ox)).max() <= 10.0
+    # degenerate short input returned unchanged
+    sx, sy = K.catmull_rom([0, 1], [0, 1])
+    assert sx.tolist() == [0, 1] and sy.tolist() == [0, 1]

@@ -110,3 +110,33 @@ def test_contraction_all_ranked_no_equal_rank_edges(graph):
     )
     assert res.ranks.count() == n_nodes
     assert res.edges.filter("rank_src = rank_dst").count() == 0
+
+
+def test_hub_node_deferred_to_local_finish(spark, tmp_path):
+    """A node whose degree exceeds MAX_SIM_DEGREE must never be picked by
+    a distributed round (witness sim skipped) — it contracts in the local
+    finish, and distances stay exact."""
+    import itertools
+
+    n_spokes = RT.MAX_SIM_DEGREE + 8
+    rows = []
+    for i in range(1, n_spokes + 1):
+        rows.extend([(0, i, 1.0 + i * 0.01), (i, 0, 1.0 + i * 0.01)])
+    for i in range(1, n_spokes):  # rim ring so spokes have alternatives
+        rows.extend([(i, i + 1, 0.5), (i + 1, i, 0.5)])
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res = RT.contract(edges, checkpoint_dir=str(tmp_path / "hub"),
+                      local_threshold=40, max_rounds=6)
+    ranks = {r.node: r.rank for r in res.ranks.collect()}
+    dist_rounds = [m for m in res.metrics if not m.get("local_finish")]
+    # hub 0 was never contracted by a distributed round (rank >= 1e6 means
+    # local finish assigned it)
+    assert ranks[0] >= 1_000_000
+    assert len(dist_rounds) >= 1
+    ch_rows = [(r.src, r.dst, r.weight, r.rank_src, r.rank_dst)
+               for r in res.edges.collect()]
+    plain = [(s, d, w) for s, d, w in rows]
+    ref = RT.dijkstra_ref(plain, 5)
+    for t in (0, 1, 20, n_spokes):
+        assert RT.ch_query(ch_rows, 5, t) == pytest.approx(
+            ref.get(t, float("inf")), rel=1e-9)

@@ -89,3 +89,23 @@ def test_text_passthrough_byte_identical(spark):
     joined = geo.join(spatial_join(geo, polys, how="left"), "page_id", "left")
     after = {r.url: hashlib.sha256(r.text.encode()).hexdigest() for r in joined.select("url", "text").collect()}
     assert after == before
+
+
+def test_broadcast_and_cogroup_paths_agree(spark):
+    """The zero-shuffle broadcast index path and the salted cell-cogroup
+    path are alternative physical plans of the SAME logical join — their
+    match sets must be identical."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.geocode import geocode_ids
+    from osm_spark.operators.spatial_join import spatial_join
+
+    docs = geocode_ids(
+        spark.range(1500).withColumnRenamed("id", "doc_id"), "doc_id")
+    polys = FX.polygons_df(spark, 200)
+    a = {(r.doc_id, r.feature_id) for r in
+         spatial_join(docs, polys, page_key="doc_id").collect()}
+    b = {(r.doc_id, r.feature_id) for r in
+         spatial_join(docs, polys, page_key="doc_id",
+                      broadcast_polys=False, salt=4).collect()}
+    assert a == b
+    assert len(a) > 50

@@ -1,0 +1,139 @@
+"""Physical-plan review: capture .explain('formatted') for the headline
+operators and assert the plan properties the 100 TB design depends on
+(PushedFilters at the scan, broadcast joins for small sides, whole-stage
+codegen for JVM paths).  Writes PLANS.md.
+
+Usage: python tools/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from osm_spark import fixtures as FX
+    from osm_spark.operators import tiles as T
+    from osm_spark.operators.geocode import geocode_ids
+    from osm_spark.operators.knn import knn_join
+    from osm_spark.operators.spatial_join import spatial_join
+    from osm_spark.session import get_spark
+
+    spark = get_spark("plans", cores=4, shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    geo = geocode_ids(docs.select("doc_id"), "doc_id")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    sections = []
+    checks = []
+
+    def section(title, df, notes, must_contain=()):
+        plan = fmt(df)
+        for needle in must_contain:
+            ok = needle in plan
+            checks.append((title, needle, ok))
+        sections.append(f"## {title}\n\n{notes}\n\n```\n{plan.strip()}\n```\n")
+
+    # 1. predicate pushdown + column pruning at the parquet scan
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    section(
+        "Filter + projection -> parquet scan",
+        q,
+        "The filter reaches the scan (`PushedFilters`) and only 3 of 16 "
+        "columns are read (`ReadSchema`) — Catalyst pushdown working; at "
+        "100 TB this is the difference between scanning 3 columns' pages "
+        "and the whole table.",
+        must_contain=("PushedFilters", "codegen id"),
+    )
+
+    # 2. spatial join, broadcast path: single mapInPandas, NO shuffle
+    sj = spatial_join(geo, FX.polygons_df(spark, 50), how="left", page_key="doc_id")
+    plan = fmt(sj)
+    has_no_exchange = "Exchange" not in plan
+    checks.append(("Spatial join (broadcast path)", "no Exchange", has_no_exchange))
+    sections.append(
+        "## Spatial join — broadcast cell-index path\n\n"
+        "One `MapInPandas` over the pages scan; the polygon index ships "
+        "via TorrentBroadcast (outside the plan). ZERO Exchange operators "
+        "— pages are never shuffled, which is what makes the 10^12-row "
+        "side cheap: cost = one scan + vectorized PIP.\n\n"
+        f"```\n{plan.strip()}\n```\n")
+
+    # 3. spatial join, cogroup path with salting: shuffle on (cx, cy, salt)
+    sj2 = spatial_join(geo, FX.polygons_df(spark, 50), how="inner",
+                       page_key="doc_id", broadcast_polys=False, salt=4)
+    section(
+        "Spatial join — salted cell-cogroup path (huge layers)",
+        sj2,
+        "For polygon layers too big to broadcast: pages shuffle once on "
+        "(cell, salt); hot city cells split across `salt` reducers, AQE "
+        "skew-join as backstop (spark.sql.adaptive.skewJoin.enabled=true).",
+        must_contain=("Exchange",),
+    )
+
+    # 4. kNN cell path: broadcast of the registered feature cells
+    feats = geocode_ids(spark.range(64).withColumnRenamed("id", "feature_id"),
+                        "feature_id")
+    knn = knn_join(geo, feats, k=1, cell_zoom=10, radius=1, key="doc_id",
+                   strategy="cells", exact=False)
+    section(
+        "kNN — cell-ring candidate path",
+        knn,
+        "Feature cells broadcast (`BroadcastExchange` + BroadcastHashJoin); "
+        "pages never shuffle for candidate generation; the only wide op is "
+        "the per-point top-k window.",
+        must_contain=("BroadcastHashJoin",),
+    )
+
+    # 5. viewport tile pruning
+    tiles = T.page_tiles_exact(
+        geo, T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN),
+        key="doc_id")
+    out = Path(REPO / "data" / "plans_tiles")
+    tiles.write.mode("overwrite").partitionBy("z").parquet(str(out))
+    tt = spark.read.parquet(str(out))
+    clat, clon = FX.CITY_CENTERS[0]
+    vq = T.viewport_query(tt, 12, clat - 10**6, clat + 10**6,
+                          clon - 10**6, clon + 10**6)
+    section(
+        "Viewport query over the tile table",
+        vq,
+        "z is a partition column (`PartitionFilters` prunes directories); "
+        "x/y range predicates reach the scan as `PushedFilters`, so parquet "
+        "row-group min/max stats skip non-covering tiles — the R-tree "
+        "interior-node walk, done by the storage format.",
+        must_contain=("PushedFilters",),
+    )
+
+    md = ["# Physical plans — scale-design review\n",
+          "Captured by tools/explain_plans.py; the properties asserted "
+          "below are checked on every run.\n"]
+    md.append("| plan | property | holds |\n|---|---|---|")
+    for t, n, ok in checks:
+        md.append(f"| {t} | `{n}` | {'yes' if ok else 'NO'} |")
+    md.append("")
+    md.extend(sections)
+    (REPO / "PLANS.md").write_text("\n".join(md))
+    bad = [c for c in checks if not c[2]]
+    print(f"checks: {len(checks) - len(bad)}/{len(checks)} hold; PLANS.md written")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
