@@ -297,6 +297,25 @@ def _broadcast_join_mapper(bc, z: int, how: str):
 # top-level joins
 
 
+def suggest_salt(pages: DataFrame, z: int = DEFAULT_CELL_ZOOM,
+                 max_salt: int = 64) -> int:
+    """Salt factor from the measured cell histogram (SURVEY.md §7: hot
+    cells are cities by construction; the factor is computed, not
+    guessed): replicate enough that the hottest cell's share lands near
+    the p95 cell.  Clamped to [1, max_salt]; AQE skew-join remains the
+    runtime backstop."""
+    import math
+
+    counts = with_cell(pages, z).groupBy("cx", "cy").count()
+    row = counts.agg(
+        F.max("count").alias("mx"),
+        F.percentile_approx("count", 0.95).alias("p95"),
+    ).first()
+    if not row or not row.mx or not row.p95:
+        return 1
+    return max(1, min(max_salt, math.ceil(row.mx / max(row.p95, 1))))
+
+
 def broadcast_polygon_index(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM):
     """Collect + cell-index a polygon layer and broadcast it.  Build once
     per layer version and reuse across joins — at 10^12 pages the build

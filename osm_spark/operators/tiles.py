@@ -51,19 +51,29 @@ def page_tiles(pages_geo: DataFrame, zooms: Iterable[int] = ZOOM_BANDS,
                key: str = "page_id") -> DataFrame:
     """(key, z, x, y) for each zoom; x integer-exact, y via mercator UDF.
 
-    Single scan: all zooms are computed in one projection (the per-zoom
-    pandas UDFs share one Arrow round-trip) and exploded JVM-side —
-    at scale this is one pass over the pages instead of len(zooms)."""
+    Single scan AND single mercator evaluation: x/y are computed once at
+    the finest requested zoom and the coarser zooms derived JVM-side by
+    bit-shifts — exact, because tile ids nest:
+    floor(v*2^z) == floor(floor(v*2^zmax) / 2^(zmax-z)) for v >= 0.
+    At scale this is one pass + one Arrow round-trip regardless of how
+    many zoom bands are materialized."""
+    zooms = tuple(zooms)
+    zmax = max(zooms)
+    base = pages_geo.select(
+        F.col(key),
+        tile_x_col("lon", zmax).alias("_x"),
+        tile_y_udf(zmax)(F.col("lat")).alias("_y"),
+    )
     structs = [
         F.struct(
             F.lit(z).alias("z"),
-            tile_x_col("lon", z).alias("x"),
-            tile_y_udf(z)(F.col("lat")).alias("y"),
+            F.shiftright("_x", zmax - z).alias("x"),
+            F.shiftright("_y", zmax - z).alias("y"),
         )
         for z in zooms
     ]
     return (
-        pages_geo.select(F.col(key), F.explode(F.array(*structs)).alias("t"))
+        base.select(F.col(key), F.explode(F.array(*structs)).alias("t"))
         .select(key, "t.z", "t.x", "t.y")
     )
 

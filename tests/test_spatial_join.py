@@ -109,3 +109,23 @@ def test_broadcast_and_cogroup_paths_agree(spark):
                       broadcast_polys=False, salt=4).collect()}
     assert a == b
     assert len(a) > 50
+
+
+def test_suggest_salt_detects_hot_cells(spark):
+    """The fixture pages are 70% clustered in 5 city cells — the measured
+    salt factor must exceed 1; a uniform layout must return 1."""
+    from osm_spark.operators.geocode import geocode_ids
+    from osm_spark.operators.spatial_join import suggest_salt
+    from pyspark.sql import functions as F
+    from osm_spark import fixtures as FX
+
+    skewed = FX.pages_df(spark, 4000)
+    from osm_spark.operators.geocode import geocode_pages
+
+    s = suggest_salt(geocode_pages(skewed).select("page_id", "lat", "lon"))
+    assert s > 1
+
+    uniform = geocode_ids(
+        spark.range(4000).withColumnRenamed("id", "doc_id"), "doc_id")
+    s_u = suggest_salt(uniform.select("doc_id", "lat", "lon"))
+    assert s_u <= max(2, s)  # hash-uniform layout needs (almost) no salt
