@@ -399,6 +399,10 @@ def q_s_lsh_topk(spark, sf):  # rows-only check (float-fold bucket ids)
     return SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3)
 
 
+def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
+    return SIM.ivf_topk(_t(spark, sf, "embeddings"), k=3, n_cells=8, nprobe=2)
+
+
 def q_t_fingerprint(spark, sf):  # rows-only check (byte-level rolling hash)
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
@@ -448,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_jaccard_consecutive": q_t_jaccard_consecutive,
         "s_cosine_topk": q_s_cosine_topk,
         "s_lsh_topk": q_s_lsh_topk,
+        "s_ivf_topk": q_s_ivf_topk,
         "t_fingerprint": q_t_fingerprint,
     }
 

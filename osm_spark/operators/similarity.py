@@ -15,6 +15,7 @@ bucketing (lsh) or a broadcast of the query side.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,6 +87,85 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.95,
         .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
+                  sample: int = 2048, seed: int = 42,
+                  key: str = "vec_id", col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd k-means on a seeded
+    sample, driver-side numpy (the training set is a sample — tiny
+    regardless of table size; assignment below is the distributed part)."""
+    rows = (emb.select(key, col).orderBy(key).limit(sample).collect())
+    X = np.array([np.asarray(r[1], np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, nprobe: int = 1,
+               key: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """(key, cell): nearest-centroid assignment (nprobe cells per vector),
+    vectorized pandas UDF over the broadcast centroid matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    npb = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.stack([np.asarray(x, np.float64) for x in v])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        top = np.argsort(d, axis=1)[:, :npb]
+        return pd.Series([r.astype(int).tolist() for r in top])
+
+    return emb.select(key, F.explode(cells(F.col(col))).alias("cell"))
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 16, nprobe: int = 2,
+             key: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF cells: candidates = pairs sharing any of
+    the query's ``nprobe`` nearest cells; same exact quantized ranking as
+    cosine_topk.  The candidate-set shrink is ~n_cells/nprobe² — the
+    inverted-file scale path alongside ``lsh_topk``."""
+    C = ivf_centroids(emb, n_cells, key=key, col=col)
+    assign = ivf_assign(emb, C, nprobe=nprobe, key=key, col=col)
+    comp = _quantized_components(emb, key, col)
+    norms = _norms(comp, key)
+    ca = assign.select(F.col(key).alias("vec_id"), "cell")
+    cb = assign.select(F.col(key).alias("neighbor_id"), "cell")
+    cand = (
+        ca.join(cb, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    a = comp.select(F.col(key).alias("vec_id"), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias("neighbor_id"), "idx", F.col("q").alias("qb"))
+    dots = (
+        cand.join(a, ["vec_id"]).join(b, ["neighbor_id", "idx"])
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
+    cos = (
+        dots.join(na, "vec_id").join(nb, "neighbor_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -113,3 +113,20 @@ def test_decode_stub_raises_cleanly(spark):
     with pytest.raises(Exception) as ei:
         MM.decode_and_resize(media, 8, 8).collect()
     assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF-bucketed ANN: recall@1 vs exact brute force must be high on
+    the fixture embeddings, and every returned pair's cosine must equal
+    the exact value (same quantized arithmetic)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {r.vec_id: (r.neighbor_id, r.cosine)
+             for r in SIM.cosine_topk(emb, k=1).collect()}
+    approx = {r.vec_id: (r.neighbor_id, r.cosine)
+              for r in SIM.ivf_topk(emb, k=1, n_cells=8, nprobe=3).collect()}
+    assert set(approx) == set(exact)  # every vector got a neighbor
+    hits = sum(1 for v, (n, _) in approx.items() if exact[v][0] == n)
+    assert hits / len(exact) >= 0.6  # recall@1 with 3/8 cells probed
+    for v, (n, c) in approx.items():  # cosines are exact where matched
+        if exact[v][0] == n:
+            assert c == exact[v][1]
