@@ -315,16 +315,24 @@ def q_s_near_dup(spark, sf):
     return SIM.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.4)
 
 
-def q_mm_byte_hist(spark, sf):  # rows-only (sha-derived payload)
+def q_mm_byte_hist(spark, sf):
+    """One row per (doc, bin) — hashable scalars for the driver's
+    canonicalizer (an array<long> column is not)."""
     media = MM.attach_fake_media(_t(spark, sf, "documents"))
-    return MM.byte_histogram_features(media).select(
-        "doc_id", F.col("features").cast("array<long>").alias("features"))
+    h = MM.byte_histogram_features(media)
+    return (
+        h.select("doc_id", F.posexplode("features").alias("bin", "cnt"))
+        .select("doc_id", F.col("bin").cast("long").alias("bin"), "cnt")
+    )
 
 
-def q_mm_frames(spark, sf):  # rows-only (binary payload slicing)
-    media = MM.attach_fake_media(_t(spark, sf, "documents").limit(200))
+def q_mm_frames(spark, sf):
+    """Deterministic doc subset (doc_id < 200, not LIMIT) and hex-encoded
+    frame bytes so DuckDB can rebuild them from sha256 arithmetic."""
+    media = MM.attach_fake_media(
+        _t(spark, sf, "documents").filter("doc_id < 200"))
     fr = MM.sample_frames(media, n_frames=4, frame_bytes=32)
-    return fr.select("doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5"))
+    return fr.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
 
 
 # --- streaming ---------------------------------------------------------
@@ -348,12 +356,24 @@ def q_stream_window_counts(spark, sf):
     import uuid
 
     stream = SE.read_events_stream(spark, _events_stream_dir(sf))
-    return SE.run_available_now(
+    out = SE.run_available_now(
         SE.windowed_counts(stream), f"win_{uuid.uuid4().hex[:8]}", "complete")
+    # epoch micros, not timestamp: pandas datetime64 units (ns vs us)
+    # differ between Spark and DuckDB under the driver's canonicalizer
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type", "n", "sum_cents")
 
 
 def q_stream_sessionize(spark, sf):
-    return SE.sessionize_batch(_t(spark, sf, "events"), gap_s=28800)
+    out = SE.sessionize_batch(_t(spark, sf, "events"), gap_s=28800)
+    # session_start is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) —
+    # timestampdiff from the NTZ epoch is tz-free exact micros
+    return out.select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " session_start)").alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"), "sum_cents")
 
 
 # --- text / dedup / similarity ------------------------------------------
@@ -403,7 +423,7 @@ def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
     return SIM.ivf_topk(_t(spark, sf, "embeddings"), k=3, n_cells=8, nprobe=2)
 
 
-def q_t_fingerprint(spark, sf):  # rows-only check (byte-level rolling hash)
+def q_t_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
 
@@ -517,6 +537,23 @@ agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"""
 
 
+def _media_cte(where: str = "") -> str:
+    """CTEs rebuilding attach_fake_media's payload as a hex string:
+    dig = sha256(text); size = 512 + dig[0]*7; payload = (dig repeated)
+    truncated to size bytes (multimodal.py:33-44).  `ph` holds 2*size hex
+    chars (DuckDB sha256() returns lowercase hex)."""
+    hexd = "'0123456789abcdef'"
+    return f"""
+m_ AS (SELECT doc_id, sha256(text) AS h FROM documents {where}),
+s_ AS (SELECT doc_id, h,
+              512 + (16 * (strpos({hexd}, substr(h, 1, 1)) - 1)
+                     + strpos({hexd}, substr(h, 2, 1)) - 1) * 7 AS size
+       FROM m_),
+p_ AS (SELECT doc_id, size,
+              substr(repeat(h, size // 32 + 1), 1, CAST(2 * size AS INT)) AS ph
+       FROM s_)"""
+
+
 def oracle_sql() -> dict[str, str]:
     zc, zlast = OSQL.zorder_ctes_duckdb()
     n_tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -554,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_orderkey""",
         "r16_csr_index": """
             SELECT o_custkey, count(*) AS cnt,
-                   coalesce(sum(count(*)) OVER (ORDER BY o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+                   CAST(coalesce(sum(count(*)) OVER (ORDER BY o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
             FROM orders GROUP BY o_custkey""",
         "r17_union": """
             SELECT o_orderkey, 1 AS src FROM orders WHERE o_orderstatus = 'F'
@@ -609,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p JOIN nxt n USING (doc_id)""",
         "g08_area": f"""
             WITH {OSQL.shoelace_sql(100).lstrip()}
-            SELECT feature_id, sum(a) AS area FROM ringarea GROUP BY feature_id""",
+            SELECT feature_id, CAST(sum(a) AS BIGINT) AS area FROM ringarea GROUP BY feature_id""",
         "g20_polygon_tags": """
             WITH rel_tags AS (SELECT c_custkey AS relation, 'seg' AS key, c_mktsegment AS val FROM customer),
             way_tags AS (SELECT DISTINCT l_orderkey AS way, 'rf' AS key, l_returnflag AS val FROM lineitem),
@@ -643,9 +680,9 @@ def oracle_sql() -> dict[str, str]:
                         JOIN norms nb ON nb.vec_id = d.id_b
             WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4""",
         "stream_window_counts": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-                   count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2""",
         "stream_sessionize": """
             WITH g AS (
@@ -658,9 +695,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_no
               FROM g)
-            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-                   sum(cents) AS sum_cents
+            SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM s GROUP BY user_id, session_no""",
+        "mm_byte_hist": f"""
+            WITH {_media_cte().lstrip()},
+            pos_ AS (SELECT doc_id, unnest(range(0, size)) AS i, ph FROM p_),
+            cnts_ AS (
+              SELECT doc_id,
+                     strpos('0123456789abcdef', substr(ph, CAST(2 * i + 1 AS INT), 1)) - 1 AS bin,
+                     count(*) AS c
+              FROM pos_ GROUP BY 1, 2),
+            bins_ AS (SELECT doc_id, unnest(range(0, {MM.N_HIST_BINS})) AS bin FROM documents)
+            SELECT b.doc_id, CAST(b.bin AS BIGINT) AS bin,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+            FROM bins_ b LEFT JOIN cnts_ c ON c.doc_id = b.doc_id AND c.bin = b.bin""",
+        "mm_frames": f"""
+            WITH {_media_cte("WHERE doc_id < 200").lstrip()},
+            f_ AS (SELECT doc_id, unnest(range(0, 4)) AS k, ph, size,
+                          greatest((size - 32) // 3, 1) AS stride
+                   FROM p_),
+            o_ AS (SELECT doc_id, k, least(k * stride, greatest(size - 32, 0)) AS off, ph
+                   FROM f_)
+            SELECT doc_id, CAST(k AS INT) AS frame_idx,
+                   upper(substr(ph, CAST(2 * off + 1 AS INT), 64)) AS frame_hex
+            FROM o_""",
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",
@@ -704,7 +764,25 @@ def oracle_sql() -> dict[str, str]:
                           JOIN norms nb ON nb.vec_id = d.neighbor_id),
             r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cos)
             SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3""",
-        # s_lsh_topk, t_fingerprint: intentionally no oracle (rows-only) —
-        # float-fold bucket ids / byte-level rolling hash aren't
-        # SQL-expressible deterministically; covered by pytest goldens.
+        # Horner rolling hash h = (h*1000003 + byte) mod 2^64 over utf-8
+        # bytes, HUGEINT arithmetic, then two's-complement map to BIGINT —
+        # bit-exact twin of textops.fingerprint_udf (validated vs numpy).
+        "t_fingerprint": """
+            WITH bl AS (SELECT doc_id, hex(encode(text)) AS hx,
+                               octet_length(encode(text)) AS n
+                        FROM documents),
+            r AS (SELECT doc_id, list_reduce(
+                    list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(0, n), i ->
+                        CAST(16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+                             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1 AS HUGEINT))),
+                    (a, b) -> (a * 1000003 + b) % 18446744073709551616) AS u
+                  FROM bl)
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= 9223372036854775808
+                             THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
+            FROM r""",
+        # s_ivf_topk: intentionally no oracle (rows-only) — the coarse
+        # quantizer is iterative float k-means (not SQL-expressible);
+        # recall vs exact top-k is pytest-gated instead.
     }

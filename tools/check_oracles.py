@@ -100,7 +100,38 @@ def main():
             if ok_cols and ok_count
             else False
         )
-        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        # mirror the driver's pandas-based canonicalizer: dtype drift
+        # (e.g. DuckDB HUGEINT -> float64) and unhashable object cells
+        # (lists) break its sort/hash even when string-hashes agree
+        ok_pandas = True
+        if ok_cols:
+            try:
+                spd = sdf.toPandas()
+                dpd = res.df()
+                def kind(dt: str) -> str:
+                    # driver hashing is int-width-insensitive (r01 evidence:
+                    # g17_knn passed with int32-vs-int64 drift) but breaks on
+                    # float-vs-int and likely on datetime-unit drift
+                    if dt.startswith(("int", "uint")):
+                        return "int"
+                    if dt.startswith("float"):
+                        return "float"
+                    return dt
+
+                for c in scols:
+                    a, b = str(spd[c].dtype), str(dpd[c].dtype)
+                    if kind(a) != kind(b):
+                        print(f"      DTYPE {c}: spark={a} duckdb={b}")
+                        ok_pandas = False
+                    if a == "object" and len(spd) and isinstance(
+                        spd[c].iloc[0], (list, dict)
+                    ):
+                        print(f"      UNHASHABLE object column: {c}")
+                        ok_pandas = False
+            except Exception as e:  # arrow conversion failures etc.
+                print(f"      pandas-canon probe failed: {e}")
+                ok_pandas = False
+        status = "OK  " if (ok_cols and ok_count and ok_hash and ok_pandas) else "FAIL"
         if status == "FAIL":
             n_fail += 1
         print(
