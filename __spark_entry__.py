@@ -244,11 +244,11 @@ def q_g08_area(spark, sf):
     return GM.feature_areas(polys)
 
 
-def q_g12_dp(spark, sf):  # rows-only (recursive DP not SQL-expressible)
+def q_g12_dp(spark, sf):
     return GM.feature_dp_counts(_city_polys_df(spark), ratio=T.band_params(10)[1])
 
 
-def q_g20_mp_assembly(spark, sf):  # rows-only (endpoint chaining is iterative)
+def q_g20_mp_assembly(spark, sf):
     members_df, refs_df, nodes_df = FX.relation_tables_dfs(spark)
     m = MP.gather_members(members_df, refs_df, nodes_df)
     out = MP.assemble_multipolygons(m)
@@ -275,11 +275,11 @@ def q_g20_polygon_tags(spark, sf):
     return MP.polygon_tags(rel_tags, way_tags, outer)
 
 
-def q_l_linear_tiles(spark, sf):  # rows-only (DP + float mercator rows)
+def q_l_linear_tiles(spark, sf):
     return LN.linear_tiles(FX.roads_df(spark, 8), zooms=(8, 12))
 
 
-def q_g13_clip(spark, sf):  # rows-only (geometric splitting)
+def q_g13_clip(spark, sf):
     out = LN.clip_lines_at(FX.roads_df(spark, 8), FX.LON0 + FX.SPAN // 2)
     return out.select("way_id", "category", "side", "piece",
                       F.size("lats").alias("n_pts"),
@@ -287,7 +287,7 @@ def q_g13_clip(spark, sf):  # rows-only (geometric splitting)
                       F.element_at("lons", -1).alias("lon_last"))
 
 
-def q_x5_ch_shortcuts(spark, sf):  # rows-only (iterative algorithm)
+def q_x5_ch_shortcuts(spark, sf):
     nodes, refs = FX.road_network_dfs(spark, grid=6)
     edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
     res = RT.contract(edges)
@@ -307,7 +307,7 @@ def q_g22_viewport(spark, sf):
     return T.viewport_query(tiles, 12, clat - r, clat + r, clon - r, clon + r)
 
 
-def q_g10_hilbert(spark, sf):  # rows-only (table-free Hilbert rotation)
+def q_g10_hilbert(spark, sf):
     return with_hilbert_key(_geo_docs(spark, sf)).select("doc_id", "hkey")
 
 
@@ -415,7 +415,7 @@ def q_s_cosine_topk(spark, sf):
     return SIM.cosine_topk(_t(spark, sf, "embeddings"), k=3)
 
 
-def q_s_lsh_topk(spark, sf):  # rows-only check (float-fold bucket ids)
+def q_s_lsh_topk(spark, sf):
     return SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3)
 
 
@@ -535,6 +535,50 @@ WITH {OSQL.MINHASH_TOKS_CTE},
 h AS (SELECT doc_id, {OSQL.TOKEN_HASH_DUCKDB} AS h FROM toks),
 agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"""
+
+
+def _golden_sql(name: str) -> str:
+    """Literal VALUES oracle from data/goldens/<name>.json (generated by
+    tools/make_goldens.py, which cross-checks each table against an
+    independent scalar re-computation).  Valid because these queries read
+    only deterministic in-repo fixtures — no sf tables."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "data" / "goldens" / f"{name}.json"
+    g = json.loads(p.read_text())
+    cols, types = g["columns"], g["types"]
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "BOOLEAN":
+            return "TRUE" if v else "FALSE"
+        if t == "DOUBLE":
+            return repr(float(v))
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return str(int(v))
+
+    rows_sql = []
+    for i, r in enumerate(g["rows"]):
+        vals = [
+            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
+            for v, t in zip(r, types)
+        ]
+        rows_sql.append("(" + ", ".join(vals) + ")")
+    return (
+        f"SELECT * FROM (VALUES {', '.join(rows_sql)}) "
+        f"AS t({', '.join(cols)})"
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    ctes, last = OSQL.hilbert_ctes_duckdb()
+    return f"""
+        WITH {OSQL.PTS_CTE},
+        {ctes}
+        SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
 
 
 def _media_cte(where: str = "") -> str:
@@ -664,6 +708,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT relation, key, val FROM common_minus_rel""",
         "g22_viewport": _viewport_oracle_sql(),
+        "g10_hilbert": _hilbert_oracle_sql(),
+        "g12_dp": _golden_sql("g12_dp"),
+        "g13_clip": _golden_sql("g13_clip"),
+        "l_linear_tiles": _golden_sql("l_linear_tiles"),
+        "g20_mp_assembly": _golden_sql("g20_mp_assembly"),
+        "x5_ch_shortcuts": _golden_sql("x5_ch_shortcuts"),
         "s_near_dup": f"""
             WITH comp AS (
               SELECT vec_id, unnest(range(len(embedding))) AS idx,
@@ -756,6 +806,44 @@ def oracle_sql() -> dict[str, str]:
             dots AS (
               SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, sum(a.q * b.q) AS dot
               FROM comp a JOIN comp b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT d.vec_id, d.neighbor_id,
+                     d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+              FROM dots d JOIN norms na ON na.vec_id = d.vec_id
+                          JOIN norms nb ON nb.vec_id = d.neighbor_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cos)
+            SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3""",
+        # Exact twin of similarity.lsh_topk: ±1 planes from the same
+        # integer-parity formula, int64 quantized dots, bucket join in
+        # any of the 4 tables, then the exact quantized ranking.
+        "s_lsh_topk": f"""
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS idx,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SIM.QUANT}) AS BIGINT) AS q
+              FROM embeddings),
+            norms AS (SELECT vec_id, sum(q * q) AS norm2 FROM comp GROUP BY vec_id),
+            tp(t, p) AS (VALUES {", ".join(f"({t}, {p})" for t in range(4) for p in range(4))}),
+            pdots AS (
+              SELECT c.vec_id, t.t, t.p,
+                     sum(c.q * (CASE WHEN ((t.t * 31 + t.p) * 2654435761 + c.idx * 40503)
+                                          % 2147483648 % 2 = 0
+                                THEN 1 ELSE -1 END)) AS dot
+              FROM comp c CROSS JOIN tp t GROUP BY 1, 2, 3),
+            buckets AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkt
+              FROM pdots GROUP BY 1, 2),
+            cand AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+              FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+                                           AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2),
+            dots AS (
+              SELECT ca.vec_id, ca.neighbor_id, sum(a.q * b.q) AS dot
+              FROM cand ca
+              JOIN comp a ON a.vec_id = ca.vec_id
+              JOIN comp b ON b.vec_id = ca.neighbor_id AND b.idx = a.idx
               GROUP BY 1, 2),
             cos AS (
               SELECT d.vec_id, d.neighbor_id,

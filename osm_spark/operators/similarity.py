@@ -169,19 +169,36 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 16, nprobe: int = 2,
     )
 
 
-def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def lsh_planes(dim: int, n_planes: int, table: int = 0) -> list[list[int]]:
+    """±1 (Rademacher) hyperplanes from integer parity — the SimHash
+    form of random-hyperplane LSH.  Derived by pure int arithmetic so an
+    engine-independent oracle (DuckDB SQL) can recompute the exact same
+    buckets; same locality-sensitivity guarantee as Gaussian planes for
+    angular distance (Charikar 2002)."""
+    return [
+        [
+            1 if (((table * 31 + p) * 2654435761 + i * 40503) % (1 << 31)) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def lsh_bucket_col(col: str, planes: list[list[float]]):
-    """Sign-of-dot-product bucket id via zip_with/aggregate (JVM-side)."""
+def lsh_bucket_col(col: str, planes: list[list[int]]):
+    """Sign-of-dot-product bucket id over QUANT-quantized components —
+    exact int64 arithmetic via zip_with/aggregate (JVM-side, no shuffle,
+    no float accumulation order)."""
+    qarr = F.transform(
+        F.col(col).cast("array<double>"),
+        lambda v: F.floor(v * QUANT).cast("long"),
+    )
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
+        arr = F.array(*[F.lit(int(x)) for x in p])
         dot = F.aggregate(
-            F.zip_with(F.col(col).cast("array<double>"), arr, lambda x, y: x * y),
-            F.lit(0.0),
+            F.zip_with(qarr, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -206,7 +223,7 @@ def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
             F.array(*[
                 F.struct(
                     F.lit(t).alias("table"),
-                    lsh_bucket_col(col, lsh_planes(dim, n_planes, seed=42 + t)).alias("bucket"),
+                    lsh_bucket_col(col, lsh_planes(dim, n_planes, table=t)).alias("bucket"),
                 )
                 for t in range(n_tables)
             ])

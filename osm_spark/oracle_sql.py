@@ -168,3 +168,29 @@ MINHASH_TOKS_CTE = (
 )
 
 TOKEN_HASH_DUCKDB = "(('0x' || substr(md5(tok), 1, 8))::BIGINT)"
+
+
+def hilbert_ctes_duckdb(order: int = 31) -> tuple[str, str]:
+    """Unrolled xy2d Hilbert rotation (kernels.hilbert_d, the standard
+    public algorithm) as a DuckDB CTE chain over `pts` — one (h, g) CTE
+    pair per bit level.  Returns (ctes, last_cte_name); the final CTE
+    carries columns (doc_id, d)."""
+    parts = [
+        f"g0 AS (SELECT doc_id, (lat + {K.LAT_OFFSET}) >> 1 AS x, "
+        f"(lon + {K.LON_OFFSET}) >> 1 AS y, CAST(0 AS BIGINT) AS d FROM pts)"
+    ]
+    k = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        parts.append(
+            f"h{k} AS (SELECT doc_id, x, y, d, "
+            f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM g{k})")
+        parts.append(
+            f"g{k + 1} AS (SELECT doc_id, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END) ELSE y END AS y, "
+            f"d + CAST({s * s} AS BIGINT) * xor(3 * rx, ry) AS d FROM h{k})")
+        k += 1
+        s >>= 1
+    return ",\n".join(parts), f"g{k}"
