@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from osm_spark import fixtures as FX
 from osm_spark import oracle_sql as OSQL
+from osm_spark.geo import kernels as K
 from osm_spark.operators import dedup as D
 from osm_spark.operators import geomops as GM
 from osm_spark.operators import linear as LN
@@ -672,7 +673,9 @@ def oracle_sql() -> dict[str, str]:
             WITH {OSQL.PTS_CTE},
             feats(feature_id, flat, flon) AS (VALUES {OSQL.knn_features_values(32)}),
             d AS (SELECT p.doc_id, f.feature_id,
-                         (p.lat - f.flat) * (p.lat - f.flat) + (p.lon - f.flon) * (p.lon - f.flon) AS dist2
+                         (p.lat - f.flat) * (p.lat - f.flat)
+                         + least(abs(p.lon - f.flon), {K.LON_WORLD} - abs(p.lon - f.flon))
+                           * least(abs(p.lon - f.flon), {K.LON_WORLD} - abs(p.lon - f.flon)) AS dist2
                   FROM pts p CROSS JOIN feats f),
             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, feature_id) AS rnk FROM d)
             SELECT doc_id, feature_id, dist2, rnk FROM r WHERE rnk <= 1""",

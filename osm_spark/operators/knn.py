@@ -30,9 +30,13 @@ from osm_spark.operators.spatial_join import with_cell
 
 
 def _dist2():
-    return (F.col("lat") - F.col("flat")) * (F.col("lat") - F.col("flat")) + (
-        F.col("lon") - F.col("flon")
-    ) * (F.col("lon") - F.col("flon"))
+    """Planar fixed-point dist²; dlon wrapped to <=180° — both the
+    geographically right metric at the antimeridian and the int64
+    overflow guard (unwrapped dlon up to 3.6e9 squares past 2^63)."""
+    dlat = F.col("lat") - F.col("flat")
+    dlon = F.abs(F.col("lon") - F.col("flon"))
+    dlon = F.least(dlon, F.lit(K.LON_WORLD) - dlon)
+    return dlat * dlat + dlon * dlon
 
 
 def _rank_topk(cand: DataFrame, key: str, k: int) -> DataFrame:
@@ -88,8 +92,9 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
             outs = []
             for s in range(0, len(keys), chunk):
                 e = min(s + chunk, len(keys))
-                d2 = (la[s:e, None] - f_la[None, :]) ** 2 \
-                    + (lo[s:e, None] - f_lo[None, :]) ** 2
+                dlon = np.abs(lo[s:e, None] - f_lo[None, :])
+                np.minimum(dlon, K.LON_WORLD - dlon, out=dlon)
+                d2 = (la[s:e, None] - f_la[None, :]) ** 2 + dlon ** 2
                 if kk < d2.shape[1]:
                     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 else:

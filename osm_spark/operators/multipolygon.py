@@ -58,6 +58,22 @@ _ASM_SCHEMA = (
 )
 
 
+def _ring_contains(la_a, lo_a, la_b, lo_b) -> bool:
+    """Does ring a contain ring b?  Probe with b's first vertex NOT on
+    a's boundary (points_in_ring is unspecified for boundary points);
+    fall back to b's segment midpoints when rings share every vertex,
+    as the reference does (geometry.ml polygon_in_polygon)."""
+    for px, py in ((lo_b, la_b),
+                   ((lo_b[:-1] + lo_b[1:]) // 2, (la_b[:-1] + la_b[1:]) // 2)):
+        onb = K.points_on_ring_boundary(px, py, lo_a, la_a)
+        off = np.nonzero(~onb)[0]
+        if len(off):
+            i = off[0]
+            return bool(
+                K.points_in_ring(px[i:i + 1], py[i:i + 1], lo_a, la_a)[0])
+    return False
+
+
 def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Assemble one relation's member ways into oriented, classified
     rings.  Invalid relations (open chains, nodes shared by ≠2 way-ends,
@@ -71,14 +87,21 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
 
     # endpoint chaining (multipolygons.ml:403-470): each way-end keyed by
-    # its endpoint vertex; every endpoint must join exactly 2 way-ends
+    # its endpoint vertex; every endpoint must join exactly 2 way-ends.
+    # Already-closed ways are complete rings and stay OUT of the chaining
+    # graph — otherwise two rings touching at a shared vertex would count
+    # 4 way-ends there and wrongly invalidate the relation.
     ways = []
+    rings = []
     for lats, lons in zip(pdf["lats"], pdf["lons"]):
         la = np.asarray(lats, np.int64)
         lo = np.asarray(lons, np.int64)
         if len(la) < 2:
             return invalid()
-        ways.append((la, lo))
+        if len(la) >= 3 and la[0] == la[-1] and lo[0] == lo[-1]:
+            rings.append((la, lo, 1))
+        else:
+            ways.append((la, lo))
     ends: dict[tuple[int, int], list[tuple[int, bool]]] = {}
     for i, (la, lo) in enumerate(ways):
         ends.setdefault((int(la[0]), int(lo[0])), []).append((i, False))
@@ -87,7 +110,6 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return invalid()
 
     used = [False] * len(ways)
-    rings = []
     for start in range(len(ways)):
         if used[start]:
             continue
@@ -118,19 +140,18 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return invalid()
         rings.append((la, lo, n_ways_ring))
 
-    # containment depth by first-vertex PIP (geometry.ml:282-312);
-    # parity -> outer/hole, parent = innermost containing ring
+    # containment depth by PIP of a NON-boundary probe point
+    # (geometry.ml:282-312): points_in_ring is unspecified for points on
+    # the boundary, so a probe vertex shared with the candidate ring
+    # (touching rings — common in real OSM) must be skipped; fall back
+    # to segment midpoints like the reference if every vertex touches
     n = len(rings)
     contains = np.zeros((n, n), dtype=bool)
     for a, (la_a, lo_a, _) in enumerate(rings):
         for b, (la_b, lo_b, _) in enumerate(rings):
             if a == b:
                 continue
-            contains[a, b] = bool(
-                K.points_in_ring(
-                    np.asarray([lo_b[0]]), np.asarray([la_b[0]]), lo_a, la_a
-                )[0]
-            )
+            contains[a, b] = _ring_contains(la_a, lo_a, la_b, lo_b)
     depth = contains.sum(axis=0)
     out = {"relation": [], "ring_idx": [], "role": [], "parent": [],
            "valid": [], "n_ways": [], "lats": [], "lons": []}

@@ -122,7 +122,13 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
     return (
         fwd.unionByName(bwd)
         .groupBy("src", "dst")
-        .agg(F.min("weight").alias("weight"), F.min("length_mm").alias("length_mm"))
+        # min_by keeps the (weight, length) of ONE real segment — separate
+        # min() aggregates could mix weight and length from different
+        # parallel edges into a pair no segment has
+        .agg(F.min_by(F.struct("weight", "length_mm"),
+                      F.struct("weight", "length_mm")).alias("e"))
+        .select("src", "dst", F.col("e.weight").alias("weight"),
+                F.col("e.length_mm").alias("length_mm"))
     )
 
 
@@ -439,9 +445,16 @@ def contract(
             .fillna({"depth": 0})
             .withColumn(
                 "priority",
-                F.col("depth")
-                + 2 * (F.col("n_shortcuts") - F.col("n_in") - F.col("n_out"))
-                + 4 * (F.col("orig_shortcuts") - F.col("orig_in_out")),
+                # deferred hubs report n_shortcuts=0, which would otherwise
+                # give them the MINIMAL key in their neighbourhood and
+                # permanently block every node within 2 hops; a maximal
+                # key keeps neighbours selectable (hubs contract in the
+                # local finish)
+                F.when(F.col("deferred"), F.lit(1 << 62)).otherwise(
+                    F.col("depth")
+                    + 2 * (F.col("n_shortcuts") - F.col("n_in") - F.col("n_out"))
+                    + 4 * (F.col("orig_shortcuts") - F.col("orig_in_out"))
+                ),
             )
             .withColumn("h", _hash_col("node"))
             .withColumn("key", F.struct("priority", "h", F.col("node").alias("id")))

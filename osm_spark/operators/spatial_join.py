@@ -107,59 +107,83 @@ def polygon_cells(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# exact PIP verify
+# shared edge-packed PIP kernel (broadcast AND cogroup paths)
 
 
-def _pip_ring_batch(ring_key: pd.Series, x: pd.Series, y: pd.Series,
-                    px: pd.Series, py: pd.Series) -> pd.Series:
-    """Vectorized PIP: rows are (point, ring) pairs; grouped by ring so
-    each distinct ring in the batch runs one numpy crossing-number pass
-    over all its points (osm/geometry.ml:157-174 semantics)."""
-    out = np.zeros(len(x), dtype=bool)
-    xv = x.to_numpy(np.int64)
-    yv = y.to_numpy(np.int64)
-    if len(x):
-        for _, idx in pd.Series(range(len(x))).groupby(ring_key.to_numpy()).groups.items():
-            ii = np.asarray(idx)
-            ring_px = np.asarray(px.iloc[ii[0]], np.int64)
-            ring_py = np.asarray(py.iloc[ii[0]], np.int64)
-            out[ii] = K.points_in_ring(xv[ii], yv[ii], ring_px, ring_py)
-    return pd.Series(out)
-
-
-def pip_ring_udf():
-    return pandas_udf(_pip_ring_batch, "boolean")
-
-
-def _pip_verify(cand: DataFrame, page_key: str) -> DataFrame:
-    """cand: (page_key, lat, lon, feature_id, rings) candidate pairs →
-    exact (page_key, feature_id) matches."""
-    rings = cand.select(
-        page_key, "lat", "lon", "feature_id",
-        F.posexplode("rings").alias("ring_idx", "ring"),
-    ).select(
-        page_key, "lat", "lon", "feature_id",
-        (F.col("feature_id") * 16 + F.col("ring_idx")).alias("ring_key"),
-        F.col("ring.role").alias("role"),
-        F.col("ring.lat").alias("ring_lat"),
-        F.col("ring.lon").alias("ring_lon"),
-    )
-    flagged = rings.withColumn(
-        "in_ring",
-        pip_ring_udf()(
-            F.col("ring_key"), F.col("lon"), F.col("lat"),
-            F.col("ring_lon"), F.col("ring_lat"),
-        ),
-    )
+def _pack_polys(polys: list) -> tuple:
+    """Pack [(fid, [(role, lat_arr, lon_arr), ...]), ...] into flat
+    int64 edge arrays so PIP is ONE vectorized crossing-number pass over
+    (all edges) × (all points) — no per-polygon Python in the hot loop:
+    (exi, eyi, exj, eyj, ring_starts, ring_poly, ring_role, fids)."""
+    exi, eyi, exj, eyj = [], [], [], []
+    ring_starts, ring_poly, ring_role, fids = [], [], [], []
+    pos = 0
+    for local, (fid, rings) in enumerate(polys):
+        fids.append(fid)
+        for role, rla, rlo in rings:
+            ring_starts.append(pos)
+            ring_poly.append(local)
+            ring_role.append(role)
+            exi.append(rlo[:-1]); exj.append(rlo[1:])
+            eyi.append(rla[:-1]); eyj.append(rla[1:])
+            pos += len(rla) - 1
     return (
-        flagged.groupBy(page_key, "feature_id")
-        .agg(
-            F.max(F.when((F.col("role") == 0) & F.col("in_ring"), True).otherwise(False)).alias("in_outer"),
-            F.max(F.when((F.col("role") == 1) & F.col("in_ring"), True).otherwise(False)).alias("in_hole"),
-        )
-        .filter(F.col("in_outer") & ~F.col("in_hole"))
-        .select(page_key, "feature_id")
+        np.concatenate(exi), np.concatenate(eyi),
+        np.concatenate(exj), np.concatenate(eyj),
+        np.asarray(ring_starts, np.int64),
+        np.asarray(ring_poly, np.int64),
+        np.asarray(ring_role, np.int64),
+        np.asarray(fids, np.int64),
     )
+
+
+def _pip_pack(pack: tuple, lo: np.ndarray, la: np.ndarray):
+    """Exact PIP of points (lo, la) against a packed polygon set.
+
+    Crossing-number with the reference's tie rules
+    (osm/geometry.ml:157-174), vectorized edges × points; points are
+    chunked so the work set stays ~L2-resident.  Holes: inside = in some
+    role-0 ring of the feature and in none of its role-1 rings.
+    Returns (poly_idx, point_idx) match index arrays.
+    """
+    exi, eyi, exj, eyj, rstarts, rpoly, rrole, fids = pack
+    dx = (exj - exi)[:, None]
+    dy = (eyj - eyi)[:, None]
+    outer_rings = rrole == 0
+    n_local = len(fids)
+    out_p: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    pchunk = max(64, (1 << 18) // max(len(exi), 1))
+    for cs in range(0, len(lo), pchunk):
+        x = lo[cs:cs + pchunk][None, :]
+        y = la[cs:cs + pchunk][None, :]
+        pi = eyi[:, None] >= y
+        pj = eyj[:, None] >= y
+        cross = pi != pj
+        d = dx * (y - eyi[:, None]) - (x - exi[:, None]) * dy
+        toggle = (cross & ((d >= 0) != pi)).astype(np.int16)
+        cnt = np.add.reduceat(toggle, rstarts, axis=0)
+        inr = (cnt & 1).astype(bool)       # rings × points
+        in_outer = np.zeros((n_local, x.shape[1]), dtype=bool)
+        in_hole = np.zeros((n_local, x.shape[1]), dtype=bool)
+        np.logical_or.at(in_outer, rpoly[outer_rings], inr[outer_rings])
+        np.logical_or.at(in_hole, rpoly[~outer_rings], inr[~outer_rings])
+        p_idx, pt_idx = np.nonzero(in_outer & ~in_hole)
+        out_p.append(p_idx)
+        out_i.append(pt_idx + cs)
+    return (np.concatenate(out_p) if out_p else np.empty(0, np.int64),
+            np.concatenate(out_i) if out_i else np.empty(0, np.int64))
+
+
+def _rings_of(rings) -> list:
+    """Normalize a rings payload (Rows from collect(), dicts from Arrow)
+    to [(role, lat_arr, lon_arr), ...]."""
+    return [
+        (int(r["role"]),
+         np.asarray(r["lat"], np.int64),
+         np.asarray(r["lon"], np.int64))
+        for r in rings
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -169,23 +193,11 @@ def build_cell_index(poly_rows, z: int):
     """Driver-side cell index of a collected polygon layer — the
     in-memory analog of the R-tree the reference scans per viewport
     (rtree.ml:173-195): bbox registration per covering cell, exact PIP
-    at query time.
-
-    Per cell the candidate polygons' ring edges are packed into flat
-    int64 arrays so the query side runs ONE vectorized crossing-number
-    pass over (all edges in cell) × (all points in cell) — no per-polygon
-    Python calls in the hot loop:
-    cell → (exi, eyi, exj, eyj, ring_starts, ring_poly, ring_role, fids).
-    """
+    at query time; per-cell layout from ``_pack_polys``."""
     per_cell: dict[tuple[int, int], list] = {}
     for r in poly_rows:
         fid = int(r["feature_id"])
-        rings = [
-            (int(ring["role"]),
-             np.asarray(ring["lat"], np.int64),
-             np.asarray(ring["lon"], np.int64))
-            for ring in r["rings"]
-        ]
+        rings = _rings_of(r["rings"])
         la = np.concatenate([rg[1] for rg in rings])
         lo = np.concatenate([rg[2] for rg in rings])
         cx0 = int(K.tile_x(lo.min(), z)); cx1 = int(K.tile_x(lo.max(), z))
@@ -193,30 +205,7 @@ def build_cell_index(poly_rows, z: int):
         for cx in range(cx0, cx1 + 1):
             for cy in range(cy0, cy1 + 1):
                 per_cell.setdefault((cx, cy), []).append((fid, rings))
-
-    index = {}
-    for cell, polys in per_cell.items():
-        exi, eyi, exj, eyj = [], [], [], []
-        ring_starts, ring_poly, ring_role, fids = [], [], [], []
-        pos = 0
-        for local, (fid, rings) in enumerate(polys):
-            fids.append(fid)
-            for role, rla, rlo in rings:
-                ring_starts.append(pos)
-                ring_poly.append(local)
-                ring_role.append(role)
-                exi.append(rlo[:-1]); exj.append(rlo[1:])
-                eyi.append(rla[:-1]); eyj.append(rla[1:])
-                pos += len(rla) - 1
-        index[cell] = (
-            np.concatenate(exi), np.concatenate(eyi),
-            np.concatenate(exj), np.concatenate(eyj),
-            np.asarray(ring_starts, np.int64),
-            np.asarray(ring_poly, np.int64),
-            np.asarray(ring_role, np.int64),
-            np.asarray(fids, np.int64),
-        )
-    return index
+    return {cell: _pack_polys(polys) for cell, polys in per_cell.items()}
 
 
 def _broadcast_join_mapper(bc, z: int, how: str):
@@ -239,41 +228,13 @@ def _broadcast_join_mapper(bc, z: int, how: str):
                 cell = index.get((int(u >> 32), int(u & 0xFFFFFFFF)))
                 if cell is None:
                     continue
-                exi, eyi, exj, eyj, rstarts, rpoly, rrole, fids = cell
                 ii_all = order[s0:s1]
-                dx = (exj - exi)[:, None]
-                dy = (eyj - eyi)[:, None]
-                outer_rings = rrole == 0
-                n_local = len(fids)
-                # chunk points so the edges×points work set stays ~L2-
-                # resident (the kernel scales ~1.0 when cache-bound and
-                # collapses to DRAM bandwidth when not)
-                pchunk = max(64, (1 << 18) // max(len(exi), 1))
-                for cs in range(0, len(ii_all), pchunk):
-                    ii = ii_all[cs:cs + pchunk]
-                    x = lo[ii][None, :]
-                    y = la[ii][None, :]
-                    # crossing-number pass over all edges in the cell
-                    # (geometry.ml:157-174 tie rules, vectorized)
-                    pi = eyi[:, None] >= y
-                    pj = eyj[:, None] >= y
-                    cross = pi != pj
-                    d = dx * (y - eyi[:, None]) - (x - exi[:, None]) * dy
-                    toggle = (cross & ((d >= 0) != pi)).astype(np.int16)
-                    cnt = np.add.reduceat(toggle, rstarts, axis=0)
-                    inr = (cnt & 1).astype(bool)       # rings × points
-                    in_outer = np.zeros((n_local, len(ii)), dtype=bool)
-                    in_hole = np.zeros((n_local, len(ii)), dtype=bool)
-                    np.logical_or.at(in_outer, rpoly[outer_rings],
-                                     inr[outer_rings])
-                    np.logical_or.at(in_hole, rpoly[~outer_rings],
-                                     inr[~outer_rings])
-                    p_idx, pt_idx = np.nonzero(in_outer & ~in_hole)
-                    if len(p_idx):
-                        hits = ii[pt_idx]
-                        matched[hits] = True
-                        out_k.append(keys[hits])
-                        out_f.append(fids[p_idx])
+                p_idx, pt_idx = _pip_pack(cell, lo[ii_all], la[ii_all])
+                if len(p_idx):
+                    hits = ii_all[pt_idx]
+                    matched[hits] = True
+                    out_k.append(keys[hits])
+                    out_f.append(cell[7][p_idx])
             n_miss = 0
             if how == "left":
                 miss = keys[~matched]
@@ -326,28 +287,86 @@ def broadcast_polygon_index(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM):
     return spark.sparkContext.broadcast(index)
 
 
+# polygon layers up to this many total vertices broadcast (~32 B/edge
+# packed → ≈64 MB index); larger layers take the salted cell-cogroup path
+BROADCAST_MAX_VERTS = 2_000_000
+
+
+def _cogroup_cell_fn(page_key: str):
+    """Cogrouped (pages-in-cell, polygons-in-cell) → exact matches.
+
+    Rings cross the shuffle ONCE per (cell, salt replica) — never per
+    candidate (page, polygon) pair — then the same edge-packed kernel as
+    the broadcast path runs per group."""
+
+    def fn(pts_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pts_pdf) or not len(polys_pdf):
+            return pd.DataFrame({
+                "k": pd.array([], dtype="int64"),
+                "feature_id": pd.array([], dtype="int64"),
+            })
+        polys = []
+        for fid, roles, lens, fla, flo in zip(
+            polys_pdf["feature_id"], polys_pdf["roles"], polys_pdf["lens"],
+            polys_pdf["flat_lat"], polys_pdf["flat_lon"],
+        ):
+            la = np.asarray(fla, np.int64)
+            lo = np.asarray(flo, np.int64)
+            offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+            polys.append((int(fid), [
+                (int(role), la[offs[i]:offs[i + 1]], lo[offs[i]:offs[i + 1]])
+                for i, role in enumerate(roles)
+            ]))
+        pack = _pack_polys(polys)
+        lo = pts_pdf["lon"].to_numpy(np.int64)
+        la = pts_pdf["lat"].to_numpy(np.int64)
+        p_idx, pt_idx = _pip_pack(pack, lo, la)
+        keys = pts_pdf[page_key].to_numpy()
+        return pd.DataFrame({
+            "k": keys[pt_idx],
+            "feature_id": pack[7][p_idx],
+        })
+
+    return fn
+
+
 def spatial_join(
     pages: DataFrame,
     polys: DataFrame,
     z: int = DEFAULT_CELL_ZOOM,
     how: str = "inner",
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | None = None,
     salt: int | None = None,
     page_key: str = "page_id",
     index=None,
+    broadcast_max_verts: int = BROADCAST_MAX_VERTS,
 ) -> DataFrame:
     """PIP-join pages (with lat/lon columns) to a polygon layer.
 
     Returns (page_key, feature_id); ``how='left'`` keeps unmatched pages
     with NULL feature_id (outer-default semantics, database/join.ml:35-57).
 
-    ``broadcast_polys`` — small/medium layers: ships a (cell → polygon)
-    index to every executor once and PIP-tags pages in a single
-    mapInPandas pass — zero shuffles, zero joins, rings serialized once
-    per executor instead of once per candidate pair.  ``salt`` — for the
-    shuffle path with hot cells: replicates each polygon-cell row
-    ``salt`` ways and spreads pages across replicas.
+    Strategy (``broadcast_polys=None`` auto-picks from the measured
+    layer size — one cheap aggregate over the polygon side only):
+
+    - **broadcast**: ships a (cell → packed polygon) index to every
+      executor once and PIP-tags pages in a single mapInPandas pass —
+      zero shuffles, zero joins.  Right whenever the packed layer fits
+      comfortably in executor memory (``broadcast_max_verts``).
+    - **salted cell-cogroup**: pages shuffle once on (cell, salt);
+      polygon cells replicate ``salt`` ways; rings ship once per (cell,
+      salt) group, never per candidate pair.  ``salt`` spreads hot
+      (city) cells; AQE skew-join remains the runtime backstop.  Use
+      ``suggest_salt(pages)`` to derive the factor from the measured
+      cell histogram.
     """
+    if broadcast_polys is None:
+        nv = polys.select(
+            F.expr("aggregate(transform(rings, r -> size(r.lat)),"
+                   " 0L, (a, x) -> a + x)").alias("nv")
+        ).agg(F.sum("nv").alias("v")).first()
+        broadcast_polys = int(nv.v or 0) <= broadcast_max_verts
+
     if broadcast_polys:
         bc = index if index is not None else broadcast_polygon_index(polys, z)
         out = pages.select(page_key, "lat", "lon").mapInPandas(
@@ -357,18 +376,31 @@ def spatial_join(
         return out
 
     pts = with_cell(pages.select(page_key, "lat", "lon"), z)
-    cells = polygon_cells(polys.select("feature_id", "rings"), z)
+    # flatten rings to primitive-list columns: nested array<struct<array>>
+    # payloads segfault pyspark's cogroup Arrow->pandas conversion, and
+    # flat int64 lists are the kernel's native layout anyway
+    cells = polygon_cells(polys.select("feature_id", "rings"), z).select(
+        "cx", "cy", "feature_id",
+        F.expr("transform(rings, r -> r.role)").alias("roles"),
+        F.expr("transform(rings, r -> size(r.lat))").alias("lens"),
+        F.flatten(F.expr("transform(rings, r -> r.lat)")).alias("flat_lat"),
+        F.flatten(F.expr("transform(rings, r -> r.lon)")).alias("flat_lon"),
+    )
 
+    keys = ["cx", "cy"]
     if salt and salt > 1:
-        pts_s = pts.withColumn("salt", F.pmod(F.xxhash64(page_key), F.lit(salt)))
-        cells_s = cells.withColumn(
+        keys = ["cx", "cy", "salt"]
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(page_key), F.lit(salt)))
+        cells = cells.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         ).withColumn("salt", F.col("salt").cast("long"))
-        cand = pts_s.join(cells_s, ["cx", "cy", "salt"], "inner")
-    else:
-        cand = pts.join(cells, ["cx", "cy"], "inner")
 
-    matches = _pip_verify(cand.select(page_key, "lat", "lon", "feature_id", "rings"), page_key)
+    matches = (
+        pts.groupBy(*keys)
+        .cogroup(cells.groupBy(*keys))
+        .applyInPandas(_cogroup_cell_fn(page_key), "k long, feature_id long")
+        .withColumnRenamed("k", page_key)
+    )
 
     if how == "left":
         return pages.select(page_key).join(matches, page_key, "left")

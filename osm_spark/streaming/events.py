@@ -94,7 +94,13 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
         if evs:
             ev = pd.concat(evs).sort_values("ts")
             ts = (ev["ts"].astype("int64") // 1000).to_numpy()  # microseconds
-            cents = (ev["value"] * 100).round().astype("int64").to_numpy()
+            # HALF_UP (away from zero) like Spark's F.round — pandas
+            # .round() is half-to-even and diverges on exact .5 cents,
+            # breaking batch/stream parity
+            import numpy as np
+
+            v = ev["value"].to_numpy() * 100
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
             if state.exists:
                 start, n, s, last = state.get
             else:

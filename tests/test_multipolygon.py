@@ -89,3 +89,23 @@ def test_polygon_tags(spark):
     # surface only on one way dropped
     assert got == {("type", "multipolygon"), ("name", "rel-name"),
                    ("landuse", "forest")}
+
+
+def test_touching_hole_shared_vertex(spark):
+    """A hole sharing a vertex with its outer ring (common in real OSM)
+    must still classify as role=1 with the outer as parent — the
+    containment probe has to skip boundary vertices."""
+    import osm_spark.operators.multipolygon as MP
+
+    S = 1_000_000
+    outer = ([0, 0, 10 * S, 10 * S, 0], [0, 10 * S, 10 * S, 0, 0])
+    hole = ([0, 1 * S, 2 * S, 0], [0, 2 * S, 1 * S, 0])  # vertex (0,0) shared
+    members = spark.createDataFrame(
+        [(5, 1, "outer", outer[0], outer[1]),
+         (5, 2, "inner", hole[0], hole[1])],
+        "relation long, way long, role string, lats array<long>, lons array<long>",
+    )
+    out = {r.ring_idx: r for r in
+           MP.assemble_multipolygons(members).collect()}
+    roles = sorted((r.role, r.parent) for r in out.values())
+    assert roles == [(0, -1), (1, [k for k, v in out.items() if v.role == 0][0])]

@@ -111,6 +111,51 @@ def test_broadcast_and_cogroup_paths_agree(spark):
     assert len(a) > 50
 
 
+def test_many_ring_multipolygon_both_paths(spark):
+    """A feature with >16 rings (1 outer + 20 holes) next to a second
+    feature: exercises ring identity in the cogroup path (round-1 bug:
+    ring_key = feature_id*16 + ring_idx collided across features).  Both
+    physical paths must produce the hand-computed match set."""
+    base_lat, base_lon = FX.LAT0 + 1_000_000, FX.LON0 + 1_000_000
+    S = 100_000
+
+    def ring(role, la0, lo0, w):
+        return (role,
+                [la0, la0, la0 + w, la0 + w, la0],
+                [lo0, lo0 + w, lo0 + w, lo0, lo0])
+
+    rings = [ring(0, base_lat, base_lon, 4_000_000)]
+    for i in range(20):
+        la0 = base_lat + 150_000 + (i % 5) * 700_000
+        lo0 = base_lon + 150_000 + (i // 5) * 700_000
+        rings.append(ring(1, la0, lo0, S))
+    polys = spark.createDataFrame(
+        [(7, rings), (8, [ring(0, base_lat, base_lon + 6_000_000, 1_000_000)])],
+        "feature_id long, rings array<struct<role:int, lat:array<long>, lon:array<long>>>",
+    )
+    pts, exp, pid = [], set(), 0
+    for i in range(20):  # hole centers → inside a hole → no match
+        la = base_lat + 150_000 + (i % 5) * 700_000 + S // 2
+        lo = base_lon + 150_000 + (i // 5) * 700_000 + S // 2
+        pts.append((pid, la, lo))
+        pid += 1
+    for i in range(20):  # between holes → match feature 7
+        la = base_lat + 500_000 + (i % 5) * 700_000
+        lo = base_lon + 500_000 + (i // 5) * 700_000
+        pts.append((pid, la, lo))
+        exp.add((pid, 7))
+        pid += 1
+    pts.append((pid, base_lat + 500_000, base_lon + 6_500_000))  # feature 8
+    exp.add((pid, 8))
+    pts_df = spark.createDataFrame(pts, "doc_id long, lat long, lon long")
+    got_b = {(r.doc_id, r.feature_id) for r in spatial_join(
+        pts_df, polys, page_key="doc_id", broadcast_polys=True).collect()}
+    got_c = {(r.doc_id, r.feature_id) for r in spatial_join(
+        pts_df, polys, page_key="doc_id", broadcast_polys=False, salt=3).collect()}
+    assert got_b == exp
+    assert got_c == exp
+
+
 def test_suggest_salt_detects_hot_cells(spark):
     """The fixture pages are 70% clustered in 5 city cells — the measured
     salt factor must exceed 1; a uniform layout must return 1."""
