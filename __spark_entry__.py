@@ -316,6 +316,10 @@ def q_s_near_dup(spark, sf):
     return SIM.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.4)
 
 
+def q_s_near_dup_bucketed(spark, sf):
+    return SIM.cosine_near_dup_bucketed(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
 def q_mm_byte_hist(spark, sf):
     """One row per (doc, bin) — hashable scalars for the driver's
     canonicalizer (an array<long> column is not)."""
@@ -459,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_viewport": q_g22_viewport,
         "g10_hilbert": q_g10_hilbert,
         "s_near_dup": q_s_near_dup,
+        "s_near_dup_bucketed": q_s_near_dup_bucketed,
         "mm_byte_hist": q_mm_byte_hist,
         "mm_frames": q_mm_frames,
         "g13_clip": q_g13_clip,
@@ -817,6 +822,43 @@ def oracle_sql() -> dict[str, str]:
                           JOIN norms nb ON nb.vec_id = d.neighbor_id),
             r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cos)
             SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3""",
+        # Exact twin of cosine_near_dup_bucketed: same integer-parity LSH
+        # candidate set (id_a < id_b), same quantized verify + threshold.
+        "s_near_dup_bucketed": f"""
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS idx,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SIM.QUANT}) AS BIGINT) AS q
+              FROM embeddings),
+            norms AS (SELECT vec_id, sum(q * q) AS norm2 FROM comp GROUP BY vec_id),
+            tp(t, p) AS (VALUES {", ".join(f"({t}, {p})" for t in range(8) for p in range(2))}),
+            pdots AS (
+              SELECT c.vec_id, t.t, t.p,
+                     sum(c.q * (CASE WHEN (strpos('0123456789abcdef',
+                                     substr(md5(t.t::VARCHAR || '_' || t.p::VARCHAR || '_' || c.idx::VARCHAR), 1, 1))
+                               - 1) % 2 = 0
+                                THEN 1 ELSE -1 END)) AS dot
+              FROM comp c CROSS JOIN tp t GROUP BY 1, 2, 3),
+            buckets AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkt
+              FROM pdots GROUP BY 1, 2),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+                                           AND a.vec_id < b.vec_id
+              GROUP BY 1, 2),
+            dots AS (
+              SELECT ca.id_a, ca.id_b, sum(a.q * b.q) AS dot
+              FROM cand ca
+              JOIN comp a ON a.vec_id = ca.id_a
+              JOIN comp b ON b.vec_id = ca.id_b AND b.idx = a.idx
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT d.id_a, d.id_b,
+                     d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+              FROM dots d JOIN norms na ON na.vec_id = d.id_a
+                          JOIN norms nb ON nb.vec_id = d.id_b)
+            SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.4""",
         # Exact twin of similarity.lsh_topk: ±1 planes from the same
         # integer-parity formula, int64 quantized dots, bucket join in
         # any of the 4 tables, then the exact quantized ranking.
@@ -829,8 +871,9 @@ def oracle_sql() -> dict[str, str]:
             tp(t, p) AS (VALUES {", ".join(f"({t}, {p})" for t in range(4) for p in range(4))}),
             pdots AS (
               SELECT c.vec_id, t.t, t.p,
-                     sum(c.q * (CASE WHEN ((t.t * 31 + t.p) * 2654435761 + c.idx * 40503)
-                                          % 2147483648 % 2 = 0
+                     sum(c.q * (CASE WHEN (strpos('0123456789abcdef',
+                                     substr(md5(t.t::VARCHAR || '_' || t.p::VARCHAR || '_' || c.idx::VARCHAR), 1, 1))
+                               - 1) % 2 = 0
                                 THEN 1 ELSE -1 END)) AS dot
               FROM comp c CROSS JOIN tp t GROUP BY 1, 2, 3),
             buckets AS (

@@ -69,7 +69,11 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.95,
                     key: str = "vec_id", col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine)
     with cosine >= threshold.  Same exact quantized arithmetic as
-    cosine_topk so the pair set is engine-reproducible."""
+    cosine_topk so the pair set is engine-reproducible.
+
+    ALL-PAIRS (N²·dim before the groupBy) — the exact small-N oracle
+    twin.  The scale path is ``cosine_near_dup_bucketed``: identical
+    verify arithmetic over LSH-candidate pairs only."""
     comp = _quantized_components(emb, key, col)
     norms = _norms(comp, key)
     a = comp.select(F.col(key).alias("id_a"), "idx", F.col("q").alias("qa"))
@@ -170,15 +174,18 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 16, nprobe: int = 2,
 
 
 def lsh_planes(dim: int, n_planes: int, table: int = 0) -> list[list[int]]:
-    """±1 (Rademacher) hyperplanes from integer parity — the SimHash
-    form of random-hyperplane LSH.  Derived by pure int arithmetic so an
-    engine-independent oracle (DuckDB SQL) can recompute the exact same
-    buckets; same locality-sensitivity guarantee as Gaussian planes for
-    angular distance (Charikar 2002)."""
+    """±1 (Rademacher) hyperplanes from md5 parity — the SimHash form of
+    random-hyperplane LSH; same locality-sensitivity guarantee as
+    Gaussian planes for angular distance (Charikar 2002).  md5 (not a
+    linear congruence, whose low bit is the degenerate alternating
+    pattern) gives well-mixed signs AND lets an engine-independent
+    oracle (DuckDB md5()) recompute the exact same buckets."""
+    import hashlib
+
     return [
         [
-            1 if (((table * 31 + p) * 2654435761 + i * 40503) % (1 << 31)) % 2 == 0
-            else -1
+            1 if int(hashlib.md5(f"{table}_{p}_{i}".encode())
+                     .hexdigest()[0], 16) % 2 == 0 else -1
             for i in range(dim)
         ]
         for p in range(n_planes)
@@ -205,19 +212,15 @@ def lsh_bucket_col(col: str, planes: list[list[int]]):
     return bucket
 
 
-def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
-             key: str = "vec_id", col: str = "embedding") -> DataFrame:
-    """Approximate top-k: rank only within random-hyperplane buckets.
-
-    Multi-table LSH: ``n_tables`` independent plane sets; a pair is a
-    candidate if it shares a bucket in ANY table (recall ≈ 1-(1-p)^L).
-    Same exact quantized ranking as cosine_topk, restricted to candidate
-    peers — the candidate-set shrink that makes 100 TB ANN tractable
-    (bucket count 2^n_planes scales the self-join down quadratically;
-    the table loop multiplies cost linearly, recall exponentially).
-    """
-    dim = len(emb.select(col).first()[0])
-    buckets = emb.select(
+def lsh_buckets(emb: DataFrame, n_planes: int = 4, n_tables: int = 4,
+                key: str = "vec_id", col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """(key, table, bucket): multi-table LSH bucket assignment — one JVM
+    projection, no shuffle.  ``dim`` hoistable to avoid the plan-time
+    ``first()`` in production pipelines."""
+    if dim is None:
+        dim = len(emb.select(col).first()[0])
+    return emb.select(
         key,
         F.explode(
             F.array(*[
@@ -229,6 +232,57 @@ def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
             ])
         ).alias("tb"),
     ).select(key, "tb.table", "tb.bucket")
+
+
+def cosine_near_dup_bucketed(emb: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 2, n_tables: int = 8,
+                             key: str = "vec_id", col: str = "embedding",
+                             dim: int | None = None) -> DataFrame:
+    """Near-duplicate pairs at scale: candidates = pairs sharing an LSH
+    bucket in ANY table (bucket equi-join — no all-pairs self-join in
+    the plan), then the SAME exact quantized cosine verify as
+    ``cosine_near_dup``.  Approximate by LSH recall
+    (1-(1-p^b)^L); recall vs the all-pairs twin is pytest-gated."""
+    buckets = lsh_buckets(emb, n_planes, n_tables, key, col, dim)
+    ba = buckets.select(F.col(key).alias("id_a"), "table", "bucket")
+    bb = buckets.select(F.col(key).alias("id_b"), "table", "bucket")
+    cand = (
+        ba.join(bb, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = _quantized_components(emb, key, col)
+    norms = _norms(comp, key)
+    a = comp.select(F.col(key).alias("id_a"), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias("id_b"), "idx", F.col("q").alias("qb"))
+    dots = (
+        cand.join(a, ["id_a"]).join(b, ["id_b", "idx"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col(key).alias("id_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias("id_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
+             key: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Approximate top-k: rank only within random-hyperplane buckets.
+
+    Multi-table LSH: ``n_tables`` independent plane sets; a pair is a
+    candidate if it shares a bucket in ANY table (recall ≈ 1-(1-p)^L).
+    Same exact quantized ranking as cosine_topk, restricted to candidate
+    peers — the candidate-set shrink that makes 100 TB ANN tractable
+    (bucket count 2^n_planes scales the self-join down quadratically;
+    the table loop multiplies cost linearly, recall exponentially).
+    """
+    buckets = lsh_buckets(emb, n_planes, n_tables, key, col)
     comp = _quantized_components(emb, key, col)
     norms = _norms(comp, key)
     ba = buckets.select(F.col(key).alias("vec_id"), "table", "bucket")

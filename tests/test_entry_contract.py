@@ -95,3 +95,20 @@ def test_fingerprint_matches_python_oracle(spark):
 
     for did, t in texts.items():
         assert got[did] == oracle(t), did
+
+
+def test_near_dup_bucketed_recall_and_precision(spark):
+    """The LSH-bucketed near-dup path returns a SUBSET of the all-pairs
+    pair set (exact verify => perfect precision) with high recall on the
+    fixture embeddings."""
+    from osm_spark.operators.similarity import (cosine_near_dup,
+                                                cosine_near_dup_bucketed)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_dup(emb, threshold=0.4).collect()}
+    bucketed = {(r.id_a, r.id_b) for r in
+                cosine_near_dup_bucketed(emb, threshold=0.4).collect()}
+    assert bucketed <= exact            # precision 1.0 by construction
+    assert exact                        # fixture has near-dup pairs
+    assert len(bucketed) / len(exact) >= 0.8   # 2-bit x 8-table LSH recall
