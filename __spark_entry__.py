@@ -340,6 +340,41 @@ def q_mm_frames(spark, sf):
     return fr.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
 
 
+# --- sources (S1: OSM PBF) ---------------------------------------------
+
+
+def _pbf_fixture_path() -> str:
+    from pathlib import Path
+
+    from osm_spark.sources import pbf_fixture
+
+    p = Path(__file__).resolve().parent / "data" / "fixtures" / "sample.osm.pbf"
+    if not p.exists():
+        p.parent.mkdir(parents=True, exist_ok=True)
+        pbf_fixture.write_sample_pbf(str(p))
+    return str(p)
+
+
+def q_s1_pbf_nodes(spark, sf):
+    from osm_spark.sources import pbf
+
+    return pbf.read_pbf(spark, _pbf_fixture_path())["nodes"]
+
+
+def q_s1_pbf_way_refs(spark, sf):
+    from osm_spark.sources import pbf
+
+    return pbf.read_pbf(spark, _pbf_fixture_path())["way_refs"]
+
+
+def q_s1_pbf_rel_members(spark, sf):
+    from osm_spark.sources import pbf
+
+    out = pbf.read_pbf(spark, _pbf_fixture_path())["rel_members"]
+    return out.select("relation", "seq", F.col("mtype").cast("int").alias("mtype"),
+                      "member", "role")
+
+
 # --- streaming ---------------------------------------------------------
 
 
@@ -467,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_hist": q_mm_byte_hist,
         "mm_frames": q_mm_frames,
         "g13_clip": q_g13_clip,
+        "s1_pbf_nodes": q_s1_pbf_nodes,
+        "s1_pbf_way_refs": q_s1_pbf_way_refs,
+        "s1_pbf_rel_members": q_s1_pbf_rel_members,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
         "t_dedup_exact": q_t_dedup_exact,
@@ -585,6 +623,26 @@ def _hilbert_oracle_sql() -> str:
         WITH {OSQL.PTS_CTE},
         {ctes}
         SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
+
+
+def _pbf_oracle(table: str, cols: list[str], types: list[str]) -> str:
+    """VALUES oracle straight from the fixture generator's ground truth
+    (pbf_fixture.expected_tables) — the Spark side decodes the encoded
+    file, so equality is an encode->decode round-trip check."""
+    from osm_spark.sources import pbf_fixture
+
+    rows = pbf_fixture.expected_tables()[table]
+
+    def lit(v, t):
+        return "'" + str(v).replace("'", "''") + "'" if t == "VARCHAR" else str(int(v))
+
+    body = ", ".join(
+        "(" + ", ".join(
+            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
+            for v, t in zip(r, types)) + ")"
+        for i, r in enumerate(rows)
+    )
+    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
 
 
 def _media_cte(where: str = "") -> str:
@@ -717,6 +775,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, key, val FROM common_minus_rel""",
         "g22_viewport": _viewport_oracle_sql(),
         "g10_hilbert": _hilbert_oracle_sql(),
+        "s1_pbf_nodes": _pbf_oracle(
+            "nodes", ["node", "lat", "lon"], ["BIGINT", "BIGINT", "BIGINT"]),
+        "s1_pbf_way_refs": _pbf_oracle(
+            "way_refs", ["way", "seq", "node"], ["BIGINT", "INTEGER", "BIGINT"]),
+        "s1_pbf_rel_members": _pbf_oracle(
+            "rel_members", ["relation", "seq", "mtype", "member", "role"],
+            ["BIGINT", "INTEGER", "INTEGER", "BIGINT", "VARCHAR"]),
         "g12_dp": _golden_sql("g12_dp"),
         "g13_clip": _golden_sql("g13_clip"),
         "l_linear_tiles": _golden_sql("l_linear_tiles"),

@@ -1,0 +1,292 @@
+"""OSM PBF source (S1): blob framing + parallel Arrow-batched decode.
+
+Spark-first re-expression of the reference's streaming parser
+(/root/reference/osm/parser.ml:67-84 blob framing, 209-236 dense-node
+delta decode, 269-290 ways, 331-357 relations;
+/root/reference/generic/protobuf.ml wire decoder) — built from the
+public PBF/protobuf wire format, not a port:
+
+1. ``blob_index`` — ONE cheap sequential metadata pass over the file
+   reads only the 4-byte header lengths + BlobHeaders and seeks past
+   the payloads, yielding a (offset, size, type) DataFrame.  For a
+   planet file (~70 GB, ~100k blobs) this touches a few MB.
+2. ``decode_blocks`` — mapInPandas over the index: every executor
+   opens the file, range-reads ITS blobs, zlib-inflates and decodes
+   them with numpy-vectorized varint kernels.  Decode parallelism ==
+   blob count, the same unit of work the PBF format itself defines.
+   (On object stores the open+seek becomes a ranged GET — same shape.)
+3. ``pbf_tables`` — split the single union-schema decode output into
+   the normalized base tables of SURVEY.md §1.2 (nodes, tags, ways,
+   way_refs, relations, members).  One decode pass, cache-friendly.
+
+Coordinates land in the engine's fixed-point 1e-7° unit via the
+reference's exact transform (lat_offset + granularity·Δ)/100 with
+truncation toward zero (parser.ml:228-233).  Strings are emitted as
+real strings; dictionary-encode with relational.dictionary_encode
+(R19) where the reference's dense ids are wanted.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# protobuf wire format (public spec) — minimal decoder
+
+
+def _uvarint(b, i: int) -> tuple[int, int]:
+    x = 0
+    s = 0
+    while True:
+        c = b[i]
+        i += 1
+        x |= (c & 0x7F) << s
+        if not c & 0x80:
+            return x, i
+        s += 7
+
+
+def fields(b) -> dict[int, list]:
+    """tag -> values (ints for varint/fixed, bytes slices for
+    length-delimited)."""
+    out: dict[int, list] = {}
+    i, n = 0, len(b)
+    while i < n:
+        k, i = _uvarint(b, i)
+        tag, wt = k >> 3, k & 7
+        if wt == 0:
+            v, i = _uvarint(b, i)
+        elif wt == 2:
+            ln, i = _uvarint(b, i)
+            v = b[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = int.from_bytes(b[i:i + 4], "little")
+            i += 4
+        elif wt == 1:
+            v = int.from_bytes(b[i:i + 8], "little")
+            i += 8
+        else:  # pragma: no cover - malformed input
+            raise ValueError(f"unsupported wire type {wt}")
+        out.setdefault(tag, []).append(v)
+    return out
+
+
+def packed_uint64(buf) -> np.ndarray:
+    """Packed varints -> uint64 array, numpy-vectorized (no per-value
+    Python): bytes grouped at continuation-bit boundaries, 7-bit limbs
+    shifted by in-group position, summed with add.reduceat."""
+    a = np.frombuffer(bytes(buf), np.uint8).astype(np.int64)
+    if not len(a):
+        return np.empty(0, np.int64)
+    ends = np.nonzero((a & 0x80) == 0)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    pos = np.arange(len(a)) - np.repeat(starts, ends - starts + 1)
+    limbs = (a & 0x7F) << (7 * pos)
+    return np.add.reduceat(limbs, starts)
+
+
+def packed_sint64(buf) -> np.ndarray:
+    """Packed sint64 (zigzag) varints -> int64 array."""
+    u = packed_uint64(buf)
+    return (u >> 1) ^ -(u & 1)
+
+
+# ---------------------------------------------------------------------------
+# blob framing
+
+
+def iter_blob_index(path: str):
+    """Yield (type, data_offset, data_size) per blob — metadata-only
+    sequential pass (4-byte big-endian header length, BlobHeader, seek
+    past the Blob payload; parser.ml:67-84 framing)."""
+    with open(path, "rb") as f:
+        while True:
+            hl = f.read(4)
+            if len(hl) < 4:
+                return
+            m = fields(f.read(int.from_bytes(hl, "big")))
+            typ = bytes(m[1][0]).decode()
+            datasize = m[3][0]
+            off = f.tell()
+            yield typ, off, datasize
+            f.seek(off + datasize)
+
+
+def blob_index(spark: SparkSession, path: str) -> DataFrame:
+    rows = [(t, o, s) for t, o, s in iter_blob_index(path)]
+    return spark.createDataFrame(rows, "type string, offset long, size long")
+
+
+def read_blob(f, offset: int, size: int) -> bytes:
+    """Range-read one Blob message and return its inflated payload."""
+    f.seek(offset)
+    m = fields(f.read(size))
+    if 1 in m:  # raw
+        return bytes(m[1][0])
+    return zlib.decompress(bytes(m[3][0]), bufsize=m[2][0])
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode
+
+# union-schema rows: one decode pass for all entity kinds
+KIND_NODE, KIND_NODE_TAG = 0, 1
+KIND_WAY, KIND_WAY_REF, KIND_WAY_TAG = 2, 3, 4
+KIND_REL, KIND_REL_MEMBER, KIND_REL_TAG = 5, 6, 7
+
+DECODE_SCHEMA = (
+    "kind int, id long, lat long, lon long, seq int, ref long, "
+    "key string, val string, role string, mtype int"
+)
+
+_EMPTY = {
+    "kind": pd.array([], dtype="int32"), "id": pd.array([], dtype="int64"),
+    "lat": pd.array([], dtype="Int64"), "lon": pd.array([], dtype="Int64"),
+    "seq": pd.array([], dtype="Int32"), "ref": pd.array([], dtype="Int64"),
+    "key": pd.array([], dtype=object), "val": pd.array([], dtype=object),
+    "role": pd.array([], dtype=object), "mtype": pd.array([], dtype="Int32"),
+}
+
+
+def _trunc_div100(a: np.ndarray) -> np.ndarray:
+    """Truncation-toward-zero /100 (OCaml integer division,
+    parser.ml:228-233) — numpy // floors, which differs for negatives."""
+    return np.where(a >= 0, a // 100, -((-a) // 100))
+
+
+class _Rows:
+    def __init__(self):
+        self.cols = {k: [] for k in _EMPTY}
+
+    def add(self, n: int, **kw):
+        defaults = {"lat": None, "lon": None, "seq": None, "ref": None,
+                    "key": None, "val": None, "role": None, "mtype": None}
+        defaults.update(kw)
+        for c, v in defaults.items():
+            if isinstance(v, (np.ndarray, list)):
+                self.cols[c].extend(v if isinstance(v, list) else v.tolist())
+            else:
+                self.cols[c].extend([v] * n)
+
+    def frame(self) -> pd.DataFrame:
+        return pd.DataFrame(self.cols)
+
+
+def decode_block(data: bytes) -> pd.DataFrame:
+    """One PrimitiveBlock -> union-schema DataFrame."""
+    blk = fields(data)
+    strings = [bytes(s).decode("utf-8")
+               for s in fields(blk[1][0]).get(1, [])]
+
+    def s64(u: int) -> int:  # plain int64 varint (offsets may be negative)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    granularity = blk.get(17, [100])[0]
+    lat_off = s64(blk.get(19, [0])[0])
+    lon_off = s64(blk.get(20, [0])[0])
+    out = _Rows()
+    for grp_buf in blk.get(2, []):
+        grp = fields(grp_buf)
+        for dense_buf in grp.get(2, []):           # DenseNodes
+            dn = fields(dense_buf)
+            ids = np.cumsum(packed_sint64(dn[1][0]))
+            lat = np.cumsum(packed_sint64(dn[8][0]))
+            lon = np.cumsum(packed_sint64(dn[9][0]))
+            lat_fp = _trunc_div100(lat_off + granularity * lat)
+            lon_fp = _trunc_div100(lon_off + granularity * lon)
+            out.add(len(ids), kind=KIND_NODE, id=ids,
+                    lat=lat_fp, lon=lon_fp)
+            if 10 in dn:                            # keys_vals: k,v,...,0
+                kv = packed_uint64(dn[10][0])
+                zeros = np.nonzero(kv == 0)[0]
+                node_of = np.zeros(len(kv), np.int64)
+                node_of[zeros[:-1] + 1] = 1
+                node_of = np.cumsum(node_of)
+                nz = np.nonzero(kv)[0]
+                pairs = nz.reshape(-1, 2) if len(nz) else nz.reshape(0, 2)
+                tag_node = node_of[pairs[:, 0]]
+                out.add(len(pairs), kind=KIND_NODE_TAG,
+                        id=ids[tag_node],
+                        key=[strings[kv[i]] for i in pairs[:, 0]],
+                        val=[strings[kv[i]] for i in pairs[:, 1]])
+        for way_buf in grp.get(3, []):              # Way
+            w = fields(way_buf)
+            wid = w[1][0]
+            out.add(1, kind=KIND_WAY, id=wid)
+            refs = np.cumsum(packed_sint64(w[8][0])) if 8 in w else []
+            out.add(len(refs), kind=KIND_WAY_REF, id=wid, ref=refs,
+                    seq=np.arange(len(refs)))
+            ks = packed_uint64(w[2][0]) if 2 in w else []
+            vs = packed_uint64(w[3][0]) if 3 in w else []
+            out.add(len(ks), kind=KIND_WAY_TAG, id=wid,
+                    key=[strings[k] for k in ks],
+                    val=[strings[v] for v in vs])
+        for rel_buf in grp.get(4, []):              # Relation
+            r = fields(rel_buf)
+            rid = r[1][0]
+            out.add(1, kind=KIND_REL, id=rid)
+            mids = np.cumsum(packed_sint64(r[9][0])) if 9 in r else []
+            types = packed_uint64(r[10][0]) if 10 in r else []
+            roles = packed_uint64(r[8][0]) if 8 in r else []
+            out.add(len(mids), kind=KIND_REL_MEMBER, id=rid, ref=mids,
+                    seq=np.arange(len(mids)), mtype=types,
+                    role=[strings[s] for s in roles])
+            ks = packed_uint64(r[2][0]) if 2 in r else []
+            vs = packed_uint64(r[3][0]) if 3 in r else []
+            out.add(len(ks), kind=KIND_REL_TAG, id=rid,
+                    key=[strings[k] for k in ks],
+                    val=[strings[v] for v in vs])
+    return out.frame()
+
+
+def decode_blocks(spark: SparkSession, path: str,
+                  index: DataFrame | None = None) -> DataFrame:
+    """Parallel decode: mapInPandas over the blob index; each worker
+    range-reads and decodes its own blobs."""
+    if index is None:
+        index = blob_index(spark, path)
+    data = index.filter("type = 'OSMData'").select("offset", "size")
+    # spread blobs across workers (the index DF is tiny)
+    data = data.repartition(max(spark.sparkContext.defaultParallelism, 2))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for off, size in zip(pdf["offset"], pdf["size"]):
+                    yield decode_block(read_blob(f, int(off), int(size)))
+
+    return data.mapInPandas(fn, DECODE_SCHEMA)
+
+
+def pbf_tables(decoded: DataFrame) -> dict[str, DataFrame]:
+    """Split the union decode output into SURVEY §1.2 base tables."""
+    d = decoded
+    return {
+        "nodes": d.filter(f"kind = {KIND_NODE}").selectExpr(
+            "id AS node", "lat", "lon"),
+        "node_tags": d.filter(f"kind = {KIND_NODE_TAG}").selectExpr(
+            "id AS node", "key", "val"),
+        "ways": d.filter(f"kind = {KIND_WAY}").selectExpr("id AS way"),
+        "way_refs": d.filter(f"kind = {KIND_WAY_REF}").selectExpr(
+            "id AS way", "seq", "ref AS node"),
+        "way_tags": d.filter(f"kind = {KIND_WAY_TAG}").selectExpr(
+            "id AS way", "key", "val"),
+        "relations": d.filter(f"kind = {KIND_REL}").selectExpr(
+            "id AS relation"),
+        "rel_members": d.filter(f"kind = {KIND_REL_MEMBER}").selectExpr(
+            "id AS relation", "seq", "mtype", "ref AS member", "role"),
+        "rel_tags": d.filter(f"kind = {KIND_REL_TAG}").selectExpr(
+            "id AS relation", "key", "val"),
+    }
+
+
+def read_pbf(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """PBF file -> normalized base tables (cache ``decode_blocks``
+    output first for repeated table access)."""
+    return pbf_tables(decode_blocks(spark, path))

@@ -1,0 +1,64 @@
+"""S1 round-trip: encode sample_osm with the independent wire writer,
+decode through the Spark source, compare every base table against the
+generator's ground truth (never routed through encoder or decoder)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from osm_spark.sources import pbf, pbf_fixture
+
+FIXTURE = Path(__file__).resolve().parent.parent / "data" / "fixtures" / "sample.osm.pbf"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    FIXTURE.parent.mkdir(parents=True, exist_ok=True)
+    pbf_fixture.write_sample_pbf(str(FIXTURE))
+    decoded = pbf.decode_blocks(spark, str(FIXTURE)).cache()
+    return pbf.pbf_tables(decoded)
+
+
+def test_blob_index_framing(spark):
+    FIXTURE.parent.mkdir(parents=True, exist_ok=True)
+    pbf_fixture.write_sample_pbf(str(FIXTURE))
+    idx = list(pbf.iter_blob_index(str(FIXTURE)))
+    types = [t for t, _, _ in idx]
+    assert types[0] == "OSMHeader"
+    assert types.count("OSMData") == 3
+    # offsets strictly increasing and within the file
+    offs = [o for _, o, _ in idx]
+    assert offs == sorted(offs)
+    assert offs[-1] + idx[-1][2] == FIXTURE.stat().st_size
+
+
+def test_nodes_roundtrip(tables):
+    exp = pbf_fixture.expected_tables()
+    got = sorted(tuple(r) for r in tables["nodes"].collect())
+    assert got == sorted(exp["nodes"])
+    got_t = sorted(tuple(r) for r in tables["node_tags"].collect())
+    assert got_t == sorted(exp["node_tags"])
+
+
+def test_ways_roundtrip(tables):
+    exp = pbf_fixture.expected_tables()
+    for name in ("ways", "way_refs", "way_tags"):
+        got = sorted(tuple(r) for r in tables[name].collect())
+        assert got == sorted(exp[name]), name
+
+
+def test_relations_roundtrip(tables):
+    exp = pbf_fixture.expected_tables()
+    for name in ("relations", "rel_members", "rel_tags"):
+        got = sorted(tuple(r) for r in tables[name].collect())
+        assert got == sorted(exp[name]), name
+
+
+def test_negative_coordinate_transform():
+    """parser.ml:228-233 truncation toward zero on negative values."""
+    assert pbf_fixture._fp(500, 1000, -33_8000) == (500 + 1000 * -33_8000) // 100 + (
+        1 if (500 + 1000 * -33_8000) % 100 else 0)
+    assert pbf_fixture._fp(0, 100, -123_456) == -123_456
+    assert pbf_fixture._fp(-50, 1, -49) == 0    # -99/100 truncates to 0
