@@ -340,6 +340,33 @@ def q_mm_frames(spark, sf):
     return fr.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
 
 
+# DSL exercising Any + Not + key-default + unknown-value paths
+TAG_DSL = [
+    ("etype", [("any", ["click", "view"], 1), ("not", ["purchase"], 2)]),
+    ("vband", [("any", ["hi"], 3)]),
+]
+
+
+def _event_tags(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.lit("etype").alias("key"),
+        F.col("event_type").alias("val"),
+    ).unionByName(ev.select(
+        "event_id", F.lit("vband").alias("key"),
+        F.when(F.col("value") >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("val"),
+    ))
+
+
+def q_c_tag_dsl(spark, sf):
+    from osm_spark.operators import category as CAT
+
+    tags = _event_tags(spark, sf)
+    return tags.select(
+        "event_id", "key", "val",
+        CAT.classify_tags("key", "val", TAG_DSL).alias("cat"))
+
+
 # --- sources (S1: OSM PBF) ---------------------------------------------
 
 
@@ -502,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_hist": q_mm_byte_hist,
         "mm_frames": q_mm_frames,
         "g13_clip": q_g13_clip,
+        "c_tag_dsl": q_c_tag_dsl,
         "s1_pbf_nodes": q_s1_pbf_nodes,
         "s1_pbf_way_refs": q_s1_pbf_way_refs,
         "s1_pbf_rel_members": q_s1_pbf_rel_members,
@@ -623,6 +651,20 @@ def _hilbert_oracle_sql() -> str:
         WITH {OSQL.PTS_CTE},
         {ctes}
         SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
+
+
+def _tag_dsl_oracle_sql() -> str:
+    from osm_spark.operators import category as CAT
+
+    case = CAT.classify_sql_case("key", "val", TAG_DSL)
+    return f"""
+        WITH tags AS (
+          SELECT event_id, 'etype' AS key, event_type AS val FROM events
+          UNION ALL
+          SELECT event_id, 'vband' AS key,
+                 CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS val
+          FROM events)
+        SELECT event_id, key, val, CAST({case} AS INTEGER) AS cat FROM tags"""
 
 
 def _pbf_oracle(table: str, cols: list[str], types: list[str]) -> str:
@@ -775,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, key, val FROM common_minus_rel""",
         "g22_viewport": _viewport_oracle_sql(),
         "g10_hilbert": _hilbert_oracle_sql(),
+        "c_tag_dsl": _tag_dsl_oracle_sql(),
         "s1_pbf_nodes": _pbf_oracle(
             "nodes", ["node", "lat", "lon"], ["BIGINT", "BIGINT", "BIGINT"]),
         "s1_pbf_way_refs": _pbf_oracle(

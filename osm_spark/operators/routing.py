@@ -67,23 +67,28 @@ def _hash_col(c):
 
 
 def extract_edges(way_refs: DataFrame, nodes: DataFrame,
-                  speeds: dict[int, int] | None = None) -> DataFrame:
+                  speeds: dict[int, int] | None = None,
+                  speed_col: str | None = None) -> DataFrame:
     """way_refs(way_id, seq, node_id) + ways' category/oneway + node coords
     -> directed weighted edges.
 
-    ``way_refs`` must also carry ``category`` (int) and ``oneway`` (int:
-    0 both, 1 forward, -1 backward), constant per way.  Output columns:
-    (src, dst, length_mm, weight, flags) with one row per traversable
-    direction; weight = length / speed (reference: highway.ml:192-246).
+    ``way_refs`` must also carry ``oneway`` (int: 0 both, 1 forward,
+    -1 backward) plus either ``category`` (int, mapped through
+    ``speeds``) or — when ``speed_col`` is given, e.g. from
+    ``profile.apply_profile`` — a direct per-way speed column.  Output
+    columns: (src, dst, length_mm, weight, flags) with one row per
+    traversable direction; weight = length / speed (reference:
+    highway.ml:192-246).
     """
     from osm_spark.geo import kernels as K
 
     speeds = speeds or DEFAULT_SPEEDS
+    cat_cols = [speed_col] if speed_col else ["category"]
     w = Window.partitionBy("way_id").orderBy("seq")
     segs = (
         way_refs.join(nodes, "node_id")
         .select(
-            "way_id", "seq", "category", "oneway",
+            "way_id", "seq", *cat_cols, "oneway",
             F.col("node_id").alias("src"),
             F.col("lat").alias("src_lat"), F.col("lon").alias("src_lon"),
         )
@@ -98,10 +103,13 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
         return pd.Series(K.distance(a.to_numpy(), b.to_numpy(),
                                     c.to_numpy(), d.to_numpy()))
 
-    speed_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in speeds.items() for x in kv]),
-        F.col("category"),
-    )
+    if speed_col:
+        speed_expr = F.col(speed_col)
+    else:
+        speed_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in speeds.items() for x in kv]),
+            F.col("category"),
+        )
     segs = (
         segs.withColumn("length_mm",
                         hav_mm("src_lat", "src_lon", "dst_lat", "dst_lon"))
@@ -676,6 +684,86 @@ def ch_query(ch_edges: list[tuple], s: int, t: int) -> float:
         if x in db:
             best = min(best, d + db[x])
     return float(best)
+
+
+def expand_ch_edge(edge_map: dict, u: int, v: int) -> list[int]:
+    """Recursively unpack the CH edge u->v to the real node sequence
+    (excluding u).  The reference resolves the middle node by weight
+    matching in its CSR arrays (osm/routing.ml:92-134 expand_edge); our
+    ``contract`` records it directly in the ``via`` column, so expansion
+    is a straight recursion — same output, no weight search needed."""
+    _, via = edge_map[(u, v)]
+    if via is None or via < 0:
+        return [v]
+    return expand_ch_edge(edge_map, u, via) + expand_ch_edge(edge_map, via, v)
+
+
+def ch_query_path(ch_edges: list[tuple], s: int, t: int) -> tuple[float, list[int]]:
+    """X7 with path output: bidirectional upward Dijkstra + recursive
+    shortcut expansion.
+
+    ``ch_edges``: rows (src, dst, weight, via, rank_src, rank_dst) from
+    ``contract().edges``.  Returns (distance, [s, ..., t]) over ORIGINAL
+    graph nodes; ([], inf) if unreachable.  Reference:
+    osm/routing.ml:49-79 (search), 92-145 (expansion).
+    """
+    import heapq
+
+    up_fwd: dict[int, list[tuple[int, float]]] = {}
+    up_bwd: dict[int, list[tuple[int, float]]] = {}
+    edge_map: dict[tuple[int, int], tuple[float, int | None]] = {}
+    for src, dst, w, via, r_s, r_d in ch_edges:
+        key = (int(src), int(dst))
+        if key not in edge_map or w < edge_map[key][0]:
+            edge_map[key] = (float(w), None if via is None else int(via))
+        if r_d > r_s:
+            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
+        if r_s > r_d:
+            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
+
+    def search(adj, start):
+        dist = {start: 0.0}
+        par: dict[int, int] = {}
+        pq = [(0.0, start)]
+        while pq:
+            d0, x = heapq.heappop(pq)
+            if d0 > dist.get(x, np.inf):
+                continue
+            for y, w in adj.get(x, ()):
+                nd = d0 + w
+                if nd < dist.get(y, np.inf):
+                    dist[y] = nd
+                    par[y] = x
+                    heapq.heappush(pq, (nd, y))
+        return dist, par
+
+    df, pf = search(up_fwd, int(s))
+    db, pb = search(up_bwd, int(t))
+    best, meet = np.inf, None
+    for x, d in df.items():
+        if x in db and d + db[x] < best:
+            best, meet = d + db[x], x
+    if meet is None:
+        return float("inf"), []
+
+    # upward chain s -> meet, downward chain meet -> t (original edge
+    # direction), each CH edge expanded through its via recursion
+    up_chain = []
+    x = meet
+    while x != int(s):
+        up_chain.append((pf[x], x))
+        x = pf[x]
+    up_chain.reverse()
+    down_chain = []
+    x = meet
+    while x != int(t):
+        down_chain.append((x, pb[x]))
+        x = pb[x]
+
+    path = [int(s)]
+    for u, v in up_chain + down_chain:
+        path.extend(expand_ch_edge(edge_map, u, v))
+    return float(best), path
 
 
 def dijkstra_ref(edge_rows: list[tuple], s: int) -> dict[int, float]:

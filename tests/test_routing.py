@@ -140,3 +140,33 @@ def test_hub_node_deferred_to_local_finish(spark, tmp_path):
     for t in (0, 1, 20, n_spokes):
         assert RT.ch_query(ch_rows, 5, t) == pytest.approx(
             ref.get(t, float("inf")), rel=1e-9)
+
+
+def test_ch_path_expansion(spark, graph):
+    """X7: the expanded node path is a real walk in the ORIGINAL graph
+    whose edge weights sum to the exact shortest distance."""
+    edges, rows = graph
+    res = RT.contract(edges.select("src", "dst", "weight"))
+    ch_rows = [(r.src, r.dst, r.weight, r.via, r.rank_src, r.rank_dst)
+               for r in res.edges.collect()]
+    orig = {(s, d): w for s, d, w in rows}
+    nodes = sorted({s for s, _, _ in rows})
+    rng = np.random.RandomState(11)
+    n_checked = 0
+    for s in rng.choice(nodes, size=4, replace=False):
+        ref = RT.dijkstra_ref(rows, int(s))
+        for t in rng.choice(nodes, size=4, replace=False):
+            dist, path = RT.ch_query_path(ch_rows, int(s), int(t))
+            want = ref.get(int(t), np.inf)
+            assert dist == pytest.approx(want, rel=1e-9), (s, t)
+            if not np.isfinite(want):
+                assert path == []
+                continue
+            assert path[0] == s and path[-1] == t
+            walk = 0.0
+            for u, v in zip(path, path[1:]):
+                assert (u, v) in orig, (u, v)  # every hop is an original edge
+                walk += orig[(u, v)]
+            assert walk == pytest.approx(want, rel=1e-9)
+            n_checked += 1
+    assert n_checked >= 8

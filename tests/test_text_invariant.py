@@ -47,3 +47,26 @@ def test_text_and_html_byte_identity_through_pipeline(spark, tmp_path):
     # lineage recorded for both stages with partition row detail
     recs = [r for r in pl.lineage() if not r.get("resumed")]
     assert {r["stage"] for r in recs} == {"geocode", "tag"}
+
+
+def test_tag_classifier_dsl_semantics(spark):
+    """category.ml:83-122 semantics: Any maps values, Not blocks values
+    AND sets the key default, later rules replace, unknown key -> none."""
+    from osm_spark.operators import category as CAT
+
+    dsl = [
+        ("etype", [("any", ["click", "view"], 1), ("not", ["purchase"], 2)]),
+        ("vband", [("any", ["hi"], 3)]),
+        ("etype", [("any", ["view"], 9)]),   # replaces the earlier view->1
+    ]
+    rows = [("etype", "click", 1), ("etype", "view", 9),
+            ("etype", "purchase", -1),        # blocked outranks key default
+            ("etype", "signup", 2),           # key default from Not
+            ("vband", "hi", 3), ("vband", "lo", -1),
+            ("nokey", "x", -1)]
+    df = spark.createDataFrame([(k, v) for k, v, _ in rows], "key string, val string")
+    got = df.select("key", "val",
+                    CAT.classify_tags("key", "val", dsl).alias("cat")).collect()
+    want = {(k, v): c for k, v, c in rows}
+    for r in got:
+        assert want[(r.key, r.val)] == r.cat, (r.key, r.val, r.cat)
