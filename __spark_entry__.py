@@ -382,6 +382,33 @@ def _pbf_fixture_path() -> str:
     return str(p)
 
 
+def _shp_fixture_path() -> str:
+    from pathlib import Path
+
+    from osm_spark.sources import shp_fixture
+
+    p = Path(__file__).resolve().parent / "data" / "fixtures" / "coastline.shp"
+    if not p.exists():
+        p.parent.mkdir(parents=True, exist_ok=True)
+        shp_fixture.write_sample_shp(str(p))
+    return str(p)
+
+
+def q_s3_shp_coastline(spark, sf):
+    """Shapefile -> segments -> G19 ring assembly (S3 + G19 composed)."""
+    from osm_spark.operators import coastline as CL
+    from osm_spark.sources import shapefile as SHP
+
+    segs = SHP.read_shp(spark, _shp_fixture_path()).select(
+        (F.col("rec_num").cast("long") * 100 + F.col("part")).alias("seg_id"),
+        "lats", "lons")
+    out = CL.assemble_coastline(segs)
+    return out.select(
+        "ring_idx", F.col("n_pts").cast("long").alias("n_pts"),
+        F.element_at("lats", 1).alias("lat0"),
+        F.element_at("lons", 1).alias("lon0"))
+
+
 def q_s1_pbf_nodes(spark, sf):
     from osm_spark.sources import pbf
 
@@ -531,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_clip": q_g13_clip,
         "c_tag_dsl": q_c_tag_dsl,
         "s1_pbf_nodes": q_s1_pbf_nodes,
+        "s3_shp_coastline": q_s3_shp_coastline,
         "s1_pbf_way_refs": q_s1_pbf_way_refs,
         "s1_pbf_rel_members": q_s1_pbf_rel_members,
         "stream_window_counts": q_stream_window_counts,
@@ -651,6 +679,21 @@ def _hilbert_oracle_sql() -> str:
         WITH {OSQL.PTS_CTE},
         {ctes}
         SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
+
+
+def _shp_oracle_sql() -> str:
+    """Ground truth from the fixture generator through the pure-python
+    ring builder — the Spark side additionally round-trips through the
+    encoded .shp file and the distributed source."""
+    from osm_spark.sources import shp_fixture
+
+    rows = ", ".join(
+        f"({'CAST(' if i == 0 else ''}{r[0]}{' AS INTEGER)' if i == 0 else ''}, "
+        f"{'CAST(' if i == 0 else ''}{r[1]}{' AS BIGINT)' if i == 0 else ''}, "
+        f"{r[2]}, {r[3]})"
+        for i, r in enumerate(shp_fixture.expected_rings())
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(ring_idx, n_pts, lat0, lon0)"
 
 
 def _tag_dsl_oracle_sql() -> str:
@@ -818,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
         "g22_viewport": _viewport_oracle_sql(),
         "g10_hilbert": _hilbert_oracle_sql(),
         "c_tag_dsl": _tag_dsl_oracle_sql(),
+        "s3_shp_coastline": _shp_oracle_sql(),
         "s1_pbf_nodes": _pbf_oracle(
             "nodes", ["node", "lat", "lon"], ["BIGINT", "BIGINT", "BIGINT"]),
         "s1_pbf_way_refs": _pbf_oracle(

@@ -278,6 +278,32 @@ def polygon_area(px, py):
     return int(_trunc_div(a + 1, 2))
 
 
+def polygon_areas_packed(px, py, starts, lens):
+    """``polygon_area`` over many rings packed into flat arrays —
+    one vectorized pass, no per-ring Python.  ``starts``/``lens`` give
+    each ring's slice; returns int64 area per ring with the same
+    anchored ``(a+1)/2`` truncating semantics."""
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    n = len(px)
+    ax = np.repeat(px[starts], lens)
+    ay = np.repeat(py[starts], lens)
+    keep = np.ones(n, dtype=bool)
+    keep[starts + lens - 1] = False          # drop each ring's last vertex
+    e = np.nonzero(keep)[0]
+    dx1 = px[e] - ax[e]
+    dy1 = py[e] - ay[e]
+    dx2 = px[e + 1] - ax[e]
+    dy2 = py[e + 1] - ay[e]
+    terms = dx1 * dy2 - dx2 * dy1
+    edge_starts = starts - np.arange(len(starts))   # each ring loses 1 edge
+    a = np.add.reduceat(terms, edge_starts)
+    a = np.where(lens <= 1, 0, a)
+    return np.where(a >= -1, (a + 1) // 2, -((-(a + 1)) // 2))
+
+
 # ---------------------------------------------------------------------------
 # Space-filling curves
 

@@ -114,6 +114,8 @@ def assemble_coastline(segments: DataFrame, group_col: str | None = None) -> Dat
         df = df.withColumnRenamed(group_col, "group")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if "seg_id" in pdf.columns:      # deterministic ring numbering
+            pdf = pdf.sort_values("seg_id")
         segs = [(np.asarray(lo, np.int64), np.asarray(la, np.int64))
                 for lo, la in zip(pdf["lons"], pdf["lats"])]
         rings = build_rings(segs)

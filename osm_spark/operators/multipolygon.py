@@ -79,6 +79,8 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     rings.  Invalid relations (open chains, nodes shared by ≠2 way-ends,
     multipolygons.ml:425-441) emit a single valid=false row."""
     rel = int(pdf["relation"].iloc[0])
+    if "way" in pdf.columns:    # deterministic ring numbering: group row
+        pdf = pdf.sort_values("way")  # order from Spark is arbitrary
 
     def invalid():
         return pd.DataFrame(

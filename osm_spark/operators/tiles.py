@@ -108,47 +108,94 @@ def page_tiles_exact(pages_geo: DataFrame, rows_df: DataFrame, key: str = "page_
 
 
 def _feature_tiles_pandas(zooms: tuple[int, ...]):
+    """Areas and full-resolution bboxes are computed in ONE vectorized
+    pass over the batch's packed ring arrays (polygon_areas_packed +
+    reduceat bboxes); only DP simplification — inherently per-ring —
+    and the post-simplification bboxes stay in the per-feature loop,
+    and that loop only runs for features passing a zoom's area cutoff."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         params = [(z, *band_params(z)) for z in zooms]
+        empty = {"feature_id": [], "category": [], "band": [], "z": [],
+                 "x_min": [], "x_max": [], "y_min": [], "y_max": [], "n_pts": []}
         for pdf in batches:
-            out = {"feature_id": [], "category": [], "band": [], "z": [],
-                   "x_min": [], "x_max": [], "y_min": [], "y_max": [], "n_pts": []}
-
-            def emit(fid, cat, band, z, rings):
-                la = np.concatenate([r[0] for r in rings])
-                lo = np.concatenate([r[1] for r in rings])
-                out["feature_id"].append(fid)
-                out["category"].append(cat)
-                out["band"].append(band)
-                out["z"].append(z)
-                out["x_min"].append(int(K.tile_x(lo.min(), z)))
-                out["x_max"].append(int(K.tile_x(lo.max(), z)))
-                out["y_min"].append(int(K.tile_y_float(la.max(), z)))
-                out["y_max"].append(int(K.tile_y_float(la.min(), z)))
-                out["n_pts"].append(sum(len(r[0]) for r in rings))
-
-            for fid, cat, rings in zip(pdf["feature_id"], pdf["category"], pdf["rings"]):
-                ring_arrays = [
-                    (np.asarray(r["lat"], np.int64), np.asarray(r["lon"], np.int64), r["role"])
+            nf = len(pdf)
+            if nf == 0:
+                yield pd.DataFrame(empty)
+                continue
+            feat_rings: list[list] = []
+            ring_feat, las, los = [], [], []
+            for fi, rings in enumerate(pdf["rings"]):
+                arrs = [
+                    (np.asarray(r["lat"], np.int64),
+                     np.asarray(r["lon"], np.int64), r["role"])
                     for r in rings
                 ]
-                # signed area over all rings, holes (CW) negative
-                area = sum(K.polygon_area(lo, la) for la, lo, _ in ring_arrays)
-                is_small = area <= SMALL_AREA or (
-                    area <= 50_000_000 and cat == BUILDING_CAT
-                )
-                emit(fid, cat, "small" if is_small else "large", 14, ring_arrays)
-                for z, cutoff, ratio in params:
-                    if area >= cutoff:
-                        simp = []
-                        degenerate = False
-                        for la, lo, role in ring_arrays:
-                            sla, slo = K.simplify_ring_int(ratio, la, lo)
-                            if role == 0 and len(sla) < 4:
-                                degenerate = True
-                            simp.append((sla, slo, role))
-                        if not degenerate:
-                            emit(fid, cat, str(z), z, simp)
+                feat_rings.append(arrs)
+                for la_, lo_, _ in arrs:
+                    ring_feat.append(fi)
+                    las.append(la_)
+                    los.append(lo_)
+            lens = np.array([len(x) for x in las], np.int64)
+            la = np.concatenate(las)
+            lo = np.concatenate(los)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ring_feat = np.asarray(ring_feat, np.int64)
+
+            ring_area = K.polygon_areas_packed(lo, la, starts, lens)
+            feat_area = np.zeros(nf, np.int64)
+            np.add.at(feat_area, ring_feat, ring_area)
+
+            # full-res per-feature bbox + point count (rings are
+            # contiguous per feature in the packed layout)
+            feat_first_ring = np.searchsorted(ring_feat, np.arange(nf))
+            fp_starts = starts[feat_first_ring]
+            lo_min = np.minimum.reduceat(lo, fp_starts)
+            lo_max = np.maximum.reduceat(lo, fp_starts)
+            la_min = np.minimum.reduceat(la, fp_starts)
+            la_max = np.maximum.reduceat(la, fp_starts)
+            n_pts = np.add.reduceat(lens, feat_first_ring)
+
+            fids = pdf["feature_id"].to_numpy(np.int64)
+            cats = pdf["category"].to_numpy(np.int64)
+            is_small = (feat_area <= SMALL_AREA) | (
+                (feat_area <= 50_000_000) & (cats == BUILDING_CAT))
+
+            out = {
+                "feature_id": fids.tolist(),
+                "category": cats.tolist(),
+                "band": np.where(is_small, "small", "large").tolist(),
+                "z": [14] * nf,
+                "x_min": K.tile_x(lo_min, 14).tolist(),
+                "x_max": K.tile_x(lo_max, 14).tolist(),
+                "y_min": K.tile_y_float(la_max, 14).tolist(),
+                "y_max": K.tile_y_float(la_min, 14).tolist(),
+                "n_pts": n_pts.tolist(),
+            }
+
+            for z, cutoff, ratio in params:
+                for fi in np.nonzero(feat_area >= cutoff)[0]:
+                    simp = []
+                    degenerate = False
+                    for la_, lo_, role in feat_rings[fi]:
+                        sla, slo = K.simplify_ring_int(ratio, la_, lo_)
+                        if role == 0 and len(sla) < 4:
+                            degenerate = True
+                            break
+                        simp.append((sla, slo))
+                    if degenerate:
+                        continue
+                    sla = np.concatenate([r[0] for r in simp])
+                    slo = np.concatenate([r[1] for r in simp])
+                    out["feature_id"].append(int(fids[fi]))
+                    out["category"].append(int(cats[fi]))
+                    out["band"].append(str(z))
+                    out["z"].append(z)
+                    out["x_min"].append(int(K.tile_x(slo.min(), z)))
+                    out["x_max"].append(int(K.tile_x(slo.max(), z)))
+                    out["y_min"].append(int(K.tile_y_float(sla.max(), z)))
+                    out["y_max"].append(int(K.tile_y_float(sla.min(), z)))
+                    out["n_pts"].append(int(len(sla)))
             yield pd.DataFrame(out)
 
     return fn

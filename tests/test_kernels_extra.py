@@ -62,3 +62,21 @@ def test_catmull_rom_interpolates_through_vertices():
     # degenerate short input returned unchanged
     sx, sy = K.catmull_rom([0, 1], [0, 1])
     assert sx.tolist() == [0, 1] and sy.tolist() == [0, 1]
+
+
+def test_polygon_areas_packed_matches_scalar():
+    import numpy as np
+    from osm_spark.geo import kernels as K
+
+    rng = np.random.RandomState(3)
+    rings = []
+    for n in [4, 5, 9, 2, 17, 33]:
+        rings.append((rng.randint(-10**9, 10**9, n).astype(np.int64),
+                      rng.randint(-10**9, 10**9, n).astype(np.int64)))
+    lens = np.array([len(x) for x, _ in rings])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    px = np.concatenate([x for x, _ in rings])
+    py = np.concatenate([y for _, y in rings])
+    got = K.polygon_areas_packed(px, py, starts, lens)
+    want = [K.polygon_area(x, y) for x, y in rings]
+    assert got.tolist() == want
