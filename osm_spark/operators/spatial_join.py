@@ -208,6 +208,31 @@ def build_cell_index(poly_rows, z: int):
     return {cell: _pack_polys(polys) for cell, polys in per_cell.items()}
 
 
+def _match_batch(index: dict, la: np.ndarray, lo: np.ndarray, z: int):
+    """Match one point batch against a (cell -> packed polys) index:
+    sort by cell key, one ``_pip_pack`` pass per occupied cell.
+    Returns (point_idx, feature_id) arrays."""
+    cx = (lo + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+    cy = K.tile_y_float(la, z)
+    cell_key = (cx << 32) | cy
+    order = np.argsort(cell_key, kind="stable")
+    out_i: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+    uniq, starts = np.unique(cell_key[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+        cell = index.get((int(u >> 32), int(u & 0xFFFFFFFF)))
+        if cell is None:
+            continue
+        ii_all = order[s0:s1]
+        p_idx, pt_idx = _pip_pack(cell, lo[ii_all], la[ii_all])
+        if len(p_idx):
+            out_i.append(ii_all[pt_idx])
+            out_f.append(cell[7][p_idx])
+    return (np.concatenate(out_i) if out_i else np.empty(0, np.int64),
+            np.concatenate(out_f) if out_f else np.empty(0, np.int64))
+
+
 def _broadcast_join_mapper(bc, z: int, how: str):
     def fn(batches):
         index = bc.value
@@ -215,26 +240,14 @@ def _broadcast_join_mapper(bc, z: int, how: str):
             keys = pdf.iloc[:, 0].to_numpy()
             la = pdf["lat"].to_numpy(np.int64)
             lo = pdf["lon"].to_numpy(np.int64)
-            cx = (lo + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
-            cy = K.tile_y_float(la, z)
-            cell_key = (cx << 32) | cy
-            order = np.argsort(cell_key, kind="stable")
             out_k: list[np.ndarray] = []
             out_f: list[np.ndarray] = []
             matched = np.zeros(len(keys), dtype=bool)
-            uniq, starts = np.unique(cell_key[order], return_index=True)
-            bounds = np.append(starts, len(order))
-            for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
-                cell = index.get((int(u >> 32), int(u & 0xFFFFFFFF)))
-                if cell is None:
-                    continue
-                ii_all = order[s0:s1]
-                p_idx, pt_idx = _pip_pack(cell, lo[ii_all], la[ii_all])
-                if len(p_idx):
-                    hits = ii_all[pt_idx]
-                    matched[hits] = True
-                    out_k.append(keys[hits])
-                    out_f.append(cell[7][p_idx])
+            hits, fids = _match_batch(index, la, lo, z)
+            if len(hits):
+                matched[hits] = True
+                out_k.append(keys[hits])
+                out_f.append(fids)
             n_miss = 0
             if how == "left":
                 miss = keys[~matched]
@@ -292,12 +305,17 @@ def broadcast_polygon_index(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM):
 BROADCAST_MAX_VERTS = 2_000_000
 
 
-def _cogroup_cell_fn(page_key: str):
-    """Cogrouped (pages-in-cell, polygons-in-cell) → exact matches.
+def _cogroup_cell_fn(page_key: str, z: int):
+    """Cogrouped (pages-in-coarse-cell, polygons-in-coarse-cell) →
+    exact matches.
 
-    Rings cross the shuffle ONCE per (cell, salt replica) — never per
-    candidate (page, polygon) pair — then the same edge-packed kernel as
-    the broadcast path runs per group."""
+    Rings cross the shuffle ONCE per (coarse cell, salt replica) —
+    never per candidate (page, polygon) pair.  Inside each group the
+    SAME machinery as the broadcast path runs: a local fine-zoom cell
+    index over the group's polygons, then one vectorized PIP pass per
+    occupied fine cell.  Cogrouping at a coarser zoom keeps groups few
+    and large (per-group Arrow overhead amortizes over ~10^3-10^4
+    pages instead of ~10^2)."""
 
     def fn(pts_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pts_pdf) or not len(polys_pdf):
@@ -305,7 +323,7 @@ def _cogroup_cell_fn(page_key: str):
                 "k": pd.array([], dtype="int64"),
                 "feature_id": pd.array([], dtype="int64"),
             })
-        polys = []
+        rows = []
         for fid, roles, lens, fla, flo in zip(
             polys_pdf["feature_id"], polys_pdf["roles"], polys_pdf["lens"],
             polys_pdf["flat_lat"], polys_pdf["flat_lon"],
@@ -313,18 +331,23 @@ def _cogroup_cell_fn(page_key: str):
             la = np.asarray(fla, np.int64)
             lo = np.asarray(flo, np.int64)
             offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
-            polys.append((int(fid), [
-                (int(role), la[offs[i]:offs[i + 1]], lo[offs[i]:offs[i + 1]])
-                for i, role in enumerate(roles)
-            ]))
-        pack = _pack_polys(polys)
+            rows.append({
+                "feature_id": int(fid),
+                "rings": [
+                    {"role": int(role),
+                     "lat": la[offs[i]:offs[i + 1]],
+                     "lon": lo[offs[i]:offs[i + 1]]}
+                    for i, role in enumerate(roles)
+                ],
+            })
+        index = build_cell_index(rows, z)
         lo = pts_pdf["lon"].to_numpy(np.int64)
         la = pts_pdf["lat"].to_numpy(np.int64)
-        p_idx, pt_idx = _pip_pack(pack, lo, la)
+        pt_idx, fids = _match_batch(index, la, lo, z)
         keys = pts_pdf[page_key].to_numpy()
         return pd.DataFrame({
             "k": keys[pt_idx],
-            "feature_id": pack[7][p_idx],
+            "feature_id": fids,
         })
 
     return fn
@@ -340,6 +363,7 @@ def spatial_join(
     page_key: str = "page_id",
     index=None,
     broadcast_max_verts: int = BROADCAST_MAX_VERTS,
+    cogroup_zoom: int | None = None,
 ) -> DataFrame:
     """PIP-join pages (with lat/lon columns) to a polygon layer.
 
@@ -360,6 +384,8 @@ def spatial_join(
       ``suggest_salt(pages)`` to derive the factor from the measured
       cell histogram.
     """
+    if broadcast_polys is None and index is not None:
+        broadcast_polys = True      # caller already built the index
     if broadcast_polys is None:
         nv = polys.select(
             F.expr("aggregate(transform(rings, r -> size(r.lat)),"
@@ -375,11 +401,15 @@ def spatial_join(
         ).withColumnRenamed("k", page_key)
         return out
 
-    pts = with_cell(pages.select(page_key, "lat", "lon"), z)
+    # shuffle at a coarser zoom than the PIP cells: fewer, larger
+    # cogroup groups (per-group Arrow overhead amortizes), and fewer
+    # polygon replicas; each group rebuilds the fine-zoom index locally
+    zc = max(z - 4, 2) if cogroup_zoom is None else cogroup_zoom
+    pts = with_cell(pages.select(page_key, "lat", "lon"), zc)
     # flatten rings to primitive-list columns: nested array<struct<array>>
     # payloads segfault pyspark's cogroup Arrow->pandas conversion, and
     # flat int64 lists are the kernel's native layout anyway
-    cells = polygon_cells(polys.select("feature_id", "rings"), z).select(
+    cells = polygon_cells(polys.select("feature_id", "rings"), zc).select(
         "cx", "cy", "feature_id",
         F.expr("transform(rings, r -> r.role)").alias("roles"),
         F.expr("transform(rings, r -> size(r.lat))").alias("lens"),
@@ -398,7 +428,7 @@ def spatial_join(
     matches = (
         pts.groupBy(*keys)
         .cogroup(cells.groupBy(*keys))
-        .applyInPandas(_cogroup_cell_fn(page_key), "k long, feature_id long")
+        .applyInPandas(_cogroup_cell_fn(page_key, z), "k long, feature_id long")
         .withColumnRenamed("k", page_key)
     )
 
