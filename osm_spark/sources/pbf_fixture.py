@@ -66,6 +66,22 @@ def sample_osm():
         ]
         rels.append((rid, members, {"type": "multipolygon", "ref": str(r)}))
 
+    # a geometrically real multipolygon: outer square split across two
+    # member ways + a closed-way hole (drives the §3.1 load->assembly
+    # chain end-to-end)
+    sq = [(2000, 48_9000000, 2_4000000), (2001, 48_9000000, 2_4100000),
+          (2002, 48_9100000, 2_4100000), (2003, 48_9100000, 2_4000000),
+          (2010, 48_9030000, 2_4030000), (2011, 48_9030000, 2_4060000),
+          (2012, 48_9060000, 2_4060000), (2013, 48_9060000, 2_4030000)]
+    nodes_a.extend((nid, la, lo, {}) for nid, la, lo in sq)
+    ways.append((9_100, [2000, 2001, 2002], {}))            # half ring
+    ways.append((9_101, [2002, 2003, 2000], {}))            # other half
+    ways.append((9_102, [2010, 2011, 2012, 2013, 2010], {}))  # closed hole
+    rels.append((70_100,
+                 [(1, 9_100, "outer"), (1, 9_101, "outer"),
+                  (1, 9_102, "inner")],
+                 {"type": "multipolygon"}))
+
     return {"blocks": blocks, "ways": ways, "relations": rels}
 
 

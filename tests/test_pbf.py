@@ -62,3 +62,26 @@ def test_negative_coordinate_transform():
         1 if (500 + 1000 * -33_8000) % 100 else 0)
     assert pbf_fixture._fp(0, 100, -123_456) == -123_456
     assert pbf_fixture._fp(-50, 1, -49) == 0    # -99/100 truncates to 0
+
+
+def test_load_chain_pbf_to_multipolygon(spark, tables):
+    """SURVEY §3.1 end-to-end: PBF -> normalized tables -> multipolygon
+    assembly.  Relation 70100's outer square (split across two ways)
+    and closed-way hole assemble into classified rings."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.operators import multipolygon as MP
+
+    members = tables["rel_members"].filter(
+        (F.col("relation") == 70_100) & (F.col("mtype") == 1)
+    ).selectExpr("relation", "member AS way", "role")
+    m = MP.gather_members(members, tables["way_refs"], tables["nodes"])
+    out = MP.assemble_multipolygons(m).collect()
+    assert len(out) == 2
+    by_role = {r.role: r for r in out}
+    assert set(by_role) == {0, 1}
+    assert by_role[1].parent == by_role[0].ring_idx
+    assert by_role[0].valid and by_role[1].valid
+    # outer ring: the 4 square corners, closed
+    assert by_role[0].n_ways == 2
+    assert sorted(set(by_role[0].lats))[:2] == [48_9000000, 48_9100000][:2]

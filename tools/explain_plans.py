@@ -81,11 +81,53 @@ def main():
     section(
         "Spatial join — salted cell-cogroup path (huge layers)",
         sj2,
-        "For polygon layers too big to broadcast: pages shuffle once on "
-        "(cell, salt); hot city cells split across `salt` reducers, AQE "
-        "skew-join as backstop (spark.sql.adaptive.skewJoin.enabled=true).",
+        "For polygon layers too big to broadcast (auto-switch: "
+        "`broadcast_polys=None` measures the layer's vertex count and "
+        "broadcasts below ~2M vertices): pages shuffle ONCE on a coarse "
+        "(cell, salt) key — few large cogroup groups, so per-group Arrow "
+        "overhead amortizes — polygon rings ship once per (cell, salt) "
+        "as flat primitive arrays, never per candidate pair; each group "
+        "rebuilds the fine-zoom packed index and runs the same "
+        "vectorized matcher as the broadcast path.  Hot city cells "
+        "split across `salt` reducers, AQE skew-join as backstop.  "
+        "Measured (tools/pathbench.py, 2M pages x 20k polys, local[8]): "
+        "within 1.7-2.3x of the broadcast path at salt 2-8 with an "
+        "identical match set.",
         must_contain=("Exchange",),
     )
+
+    # 3b. bucketed embedding near-dup: LSH bucket equi-join, no all-pairs
+    from osm_spark.operators.similarity import cosine_near_dup_bucketed
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    nd = cosine_near_dup_bucketed(emb, threshold=0.4)
+    plan_nd = fmt(nd)
+    checks.append(("Embedding near-dup (bucketed)", "no CartesianProduct",
+                   "CartesianProduct" not in plan_nd))
+    checks.append(("Embedding near-dup (bucketed)", "no BroadcastNestedLoopJoin",
+                   "BroadcastNestedLoopJoin" not in plan_nd))
+    sections.append(
+        "## Embedding near-dup — LSH-bucketed path\n\n"
+        "Candidates come from an equi-join on (table, bucket) — the plan "
+        "contains hash joins only, no CartesianProduct / nested-loop "
+        "join, so the self-join cost scales with bucket occupancy, not "
+        "N^2.  The exact quantized verify runs on candidate pairs only.\n\n"
+        f"```\n{plan_nd.strip()}\n```\n")
+
+    # 3c. PBF source: parallel blob decode is a MapInPandas over the index
+    from osm_spark.sources import pbf
+
+    pbf_path = REPO / "data" / "fixtures" / "sample.osm.pbf"
+    if pbf_path.exists():
+        dec = pbf.decode_blocks(spark, str(pbf_path))
+        section(
+            "PBF decode — parallel blob ranges",
+            dec,
+            "The blob index (tiny) shuffles once to spread blobs across "
+            "executors; decode itself is one `MapInPandas` — parallelism "
+            "== blob count, no data shuffle of the decoded rows.",
+            must_contain=("MapInPandas",),
+        )
 
     # 4. kNN cell path: broadcast of the registered feature cells
     feats = geocode_ids(spark.range(64).withColumnRenamed("id", "feature_id"),
