@@ -133,15 +133,20 @@ def knn_join(
     key: str = "page_id",
     exact: bool = True,
     strategy: str = "auto",
+    n_features: int | None = None,
 ) -> DataFrame:
     """k nearest features (feature_id, flat, flon) for each point.
 
     Returns (key, feature_id, dist2, rank).  ``strategy='auto'`` picks
     the broadcast-brute mapInPandas kernel when the feature layer is
     small enough to ship (exact, shuffle-free); the cell-ring candidate
-    path (reference rtree.ml:209-258 analog) otherwise.  ``exact=True``
+    path (reference rtree.ml:209-258 analog) otherwise.  Pass
+    ``n_features`` (or an explicit ``strategy``) in production pipelines
+    to skip the auto-probe's bounded count at plan time.  ``exact=True``
     adds the brute-force fallback pass for points the cell bound cannot
     certify."""
+    if strategy == "auto" and n_features is not None:
+        strategy = "broadcast" if n_features <= BROADCAST_FEATURE_LIMIT else "cells"
     if strategy == "broadcast" or (
         strategy == "auto"
         and features.limit(BROADCAST_FEATURE_LIMIT + 1).count()

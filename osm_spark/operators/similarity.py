@@ -272,7 +272,8 @@ def cosine_near_dup_bucketed(emb: DataFrame, threshold: float = 0.95,
 
 
 def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
-             key: str = "vec_id", col: str = "embedding") -> DataFrame:
+             key: str = "vec_id", col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k: rank only within random-hyperplane buckets.
 
     Multi-table LSH: ``n_tables`` independent plane sets; a pair is a
@@ -282,7 +283,7 @@ def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
     (bucket count 2^n_planes scales the self-join down quadratically;
     the table loop multiplies cost linearly, recall exponentially).
     """
-    buckets = lsh_buckets(emb, n_planes, n_tables, key, col)
+    buckets = lsh_buckets(emb, n_planes, n_tables, key, col, dim)
     comp = _quantized_components(emb, key, col)
     norms = _norms(comp, key)
     ba = buckets.select(F.col(key).alias("vec_id"), "table", "bucket")
