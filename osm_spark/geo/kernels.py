@@ -103,11 +103,22 @@ def tile_x(lon_fp, z):
 
 
 def tile_y_float(lat_fp, z):
-    """Slippy-map tile row via float mercator (production kernel)."""
-    lat = np.asarray(lat_fp, np.float64) * CONV
+    """Slippy-map tile row via float mercator (production kernel).
+
+    In-place op chain (one float64 temp instead of six) — the kernel is
+    DRAM-bandwidth-bound at high worker counts; the elementwise op
+    SEQUENCE is unchanged, so results stay bit-identical."""
+    y = np.asarray(lat_fp).astype(np.float64)
     n = float(1 << int(z))
-    y = (1.0 - np.arcsinh(np.tan(lat)) / np.pi) / 2.0 * n
-    return np.floor(y).astype(np.int64)
+    y *= CONV
+    np.tan(y, out=y)
+    np.arcsinh(y, out=y)
+    y /= np.pi
+    np.subtract(1.0, y, out=y)
+    y /= 2.0
+    y *= n
+    np.floor(y, out=y)
+    return y.astype(np.int64)
 
 
 def tile_y_boundaries(z, lat_min_fp, lat_max_fp):

@@ -82,6 +82,9 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
         # keep each distance block ~2 MB so 32 concurrent workers stay
         # cache-resident instead of fighting for memory bandwidth
         chunk = max(256, (2 << 20) // (8 * max(len(fid), 1)))
+    # antimeridian wrap is only possible when some page-feature lon span
+    # can exceed 180° — precompute the feature extent for the fast path
+    f_lo_min, f_lo_max = (int(flo.min()), int(flo.max())) if len(flo) else (0, 0)
 
     def fn(batches):
         f_id, f_la, f_lo = bc.value
@@ -89,12 +92,23 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
             keys = pdf.iloc[:, 0].to_numpy()
             la = pdf["lat"].to_numpy(np.int64)
             lo = pdf["lon"].to_numpy(np.int64)
+            wrap = len(lo) > 0 and (
+                max(int(lo.max()), f_lo_max) - min(int(lo.min()), f_lo_min)
+                > K.LON_WORLD // 2)
             outs = []
             for s in range(0, len(keys), chunk):
                 e = min(s + chunk, len(keys))
-                dlon = np.abs(lo[s:e, None] - f_lo[None, :])
-                np.minimum(dlon, K.LON_WORLD - dlon, out=dlon)
-                d2 = (la[s:e, None] - f_la[None, :]) ** 2 + dlon ** 2
+                # allocation-lean: 2 int64 blocks (+1 bool when wrapping)
+                # instead of ~5 — the block kernel is DRAM-bound
+                d2 = la[s:e, None] - f_la[None, :]
+                d2 *= d2
+                dlon = lo[s:e, None] - f_lo[None, :]
+                np.abs(dlon, out=dlon)
+                if wrap:
+                    np.subtract(K.LON_WORLD, dlon, out=dlon,
+                                where=dlon > K.LON_WORLD // 2)
+                dlon *= dlon
+                d2 += dlon
                 if kk < d2.shape[1]:
                     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 else:
