@@ -33,6 +33,32 @@ def with_hilbert_key(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return df.withColumn(out, hk(F.col(lat), F.col(lon)))
 
 
+def median_split_assign(df: DataFrame, levels: int = 4,
+                        lat: str = "lat", lon: str = "lon",
+                        out: str = "part") -> DataFrame:
+    """G18: recursive median spatial partitioning (the reference's
+    R-tree build splits leaf sets at coordinate medians,
+    rtree.ml:90-134) as log2(P) DataFrame passes.
+
+    Level k splits every current part at its own approximate median of
+    the alternating axis (percentile_approx, one aggregation per level,
+    medians broadcast back) — balanced leaves even under city-level
+    skew, unlike fixed-resolution cells.  Returns df + ``out`` in
+    [0, 2^levels)."""
+    cur = df.withColumn(out, F.lit(0))
+    for lvl in range(levels):
+        axis = lat if lvl % 2 == 0 else lon
+        meds = cur.groupBy(out).agg(
+            F.percentile_approx(axis, 0.5).alias("_med"))
+        cur = (
+            cur.join(F.broadcast(meds), out)
+            .withColumn(out, F.col(out) * 2
+                        + (F.col(axis) > F.col("_med")).cast("int"))
+            .drop("_med")
+        )
+    return cur
+
+
 def cluster_by_hilbert(df: DataFrame, n_partitions: int = 32,
                        lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Hilbert-order the rows: range-partition on the key, sort within

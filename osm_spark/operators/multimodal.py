@@ -99,11 +99,14 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4,
         fn, "doc_id long, frame_idx int, frame binary")
 
 
-def decode_and_resize(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image decode + resize — STUB: requires PIL, which this container
-    does not ship.  The Spark plumbing (mapInPandas over binary, output
-    schema) is the production shape; the inner call raises until a codec
-    library is present."""
+def decode_and_resize(media_df: DataFrame, width: int, height: int,
+                      fake: bool = False) -> DataFrame:
+    """Image decode + resize.  The real decode requires PIL (not in
+    this container) and raises NotImplementedError without it; pass
+    ``fake=True`` for a clearly-marked deterministic fake decoder
+    (sha256-expanded grayscale "pixels" of the right size) so the Spark
+    plumbing — mapInPandas over binary, batch shape, output schema —
+    runs and is tested end-to-end."""
     try:
         from PIL import Image  # noqa: F401
         have_pil = True
@@ -114,14 +117,24 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int) -> DataFrame
         import io
 
         for pdf in batches:
-            if not have_pil:
-                raise NotImplementedError(
-                    "image decode requires PIL (not available in this "
-                    "environment); plumbing verified via byte_histogram_features")
             out = []
             for blob in pdf["media"]:
-                img = Image.open(io.BytesIO(bytes(blob))).resize((width, height))
-                out.append(img.tobytes())
+                if fake:
+                    # DETERMINISTIC FAKE (not a real decode): expand the
+                    # payload hash to width*height grayscale bytes
+                    seed = hashlib.sha256(bytes(blob)).digest()
+                    n = width * height
+                    out.append((seed * (n // 32 + 1))[:n])
+                elif not have_pil:
+                    raise NotImplementedError(
+                        "image decode requires PIL (not available in this "
+                        "environment); use fake=True to exercise the "
+                        "plumbing, or byte_histogram_features for real "
+                        "byte-level features")
+                else:
+                    img = Image.open(io.BytesIO(bytes(blob))).convert(
+                        "L").resize((width, height))
+                    out.append(img.tobytes())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": out})
 
     return media_df.select("doc_id", "media").mapInPandas(

@@ -130,3 +130,34 @@ def test_ivf_topk_recall_vs_brute(spark):
     for v, (n, c) in approx.items():  # cosines are exact where matched
         if exact[v][0] == n:
             assert c == exact[v][1]
+
+
+def test_median_split_balances_skew(spark):
+    """G18: median splits keep leaves balanced even with 70% of pages
+    clustered in 5 city cells (where fixed-res cells blow up)."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.cluster import median_split_assign
+    from osm_spark.operators.geocode import geocode_pages
+
+    geo = geocode_pages(FX.pages_df(spark, 4000)).select("page_id", "lat", "lon")
+    parts = median_split_assign(geo, levels=4)
+    counts = [r["count"] for r in parts.groupBy("part").count().collect()]
+    assert len(counts) == 16
+    assert max(counts) <= 3 * min(counts)    # approx medians => near-balanced
+    assert sum(counts) == 4000
+
+
+def test_fake_decode_plumbing(spark):
+    """decode_and_resize(fake=True): deterministic fake decoder drives
+    the real mapInPandas plumbing — right row count and pixel size."""
+    from osm_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.attach_fake_media(docs.filter("doc_id < 50"))
+    px = MM.decode_and_resize(media, 8, 6, fake=True).collect()
+    assert len(px) == 50
+    assert all(len(r.pixels) == 48 for r in px)
+    # deterministic: same input -> same bytes
+    px2 = MM.decode_and_resize(media, 8, 6, fake=True).collect()
+    assert {r.doc_id: bytes(r.pixels) for r in px} == \
+           {r.doc_id: bytes(r.pixels) for r in px2}
