@@ -47,22 +47,35 @@ SMALL_AREA = math.trunc(8.0 * (1e7 / (256.0 / 360.0 * 2.0**15.5)) ** 2)
 # page tiles
 
 
+def tile_y_col(lat_col: str, z: int):
+    """Mercator tile row as a pure JVM expression (tan/asinh are Spark
+    SQL builtins) — whole-stage codegen, no Python workers, no Arrow
+    transfer.  Same formula as kernels.tile_y_float; last-ulp libm
+    differences vs numpy are possible exactly AT a tile boundary, so
+    use this where only self-consistency is needed (page tiling) and
+    the numpy kernel where a Python-side path must agree bit-for-bit
+    (spatial-join cells)."""
+    lat = F.col(lat_col) * F.lit(float(K.CONV))
+    y = (F.lit(1.0) - F.asinh(F.tan(lat)) / F.lit(math.pi)) / F.lit(2.0) \
+        * F.lit(float(1 << z))
+    return F.floor(y).cast("long")
+
+
 def page_tiles(pages_geo: DataFrame, zooms: Iterable[int] = ZOOM_BANDS,
                key: str = "page_id") -> DataFrame:
-    """(key, z, x, y) for each zoom; x integer-exact, y via mercator UDF.
+    """(key, z, x, y) for each zoom — one scan, pure JVM.
 
-    Single scan AND single mercator evaluation: x/y are computed once at
-    the finest requested zoom and the coarser zooms derived JVM-side by
-    bit-shifts — exact, because tile ids nest:
-    floor(v*2^z) == floor(floor(v*2^zmax) / 2^(zmax-z)) for v >= 0.
-    At scale this is one pass + one Arrow round-trip regardless of how
-    many zoom bands are materialized."""
+    Single mercator evaluation: x/y are computed once at the finest
+    requested zoom (as whole-stage-codegen expressions — zero Python in
+    the plan) and the coarser zooms derived by bit-shifts — exact,
+    because tile ids nest:
+    floor(v*2^z) == floor(floor(v*2^zmax) / 2^(zmax-z)) for v >= 0."""
     zooms = tuple(zooms)
     zmax = max(zooms)
     base = pages_geo.select(
         F.col(key),
         tile_x_col("lon", zmax).alias("_x"),
-        tile_y_udf(zmax)(F.col("lat")).alias("_y"),
+        tile_y_col("lat", zmax).alias("_y"),
     )
     structs = [
         F.struct(
