@@ -681,6 +681,70 @@ def _hilbert_oracle_sql() -> str:
         SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
 
 
+def _ivf_oracle_sql() -> str | None:
+    """Engine-independence oracle for s_ivf_topk: the SAME algorithm
+    spec (seeded Lloyd on the vec_id-ordered sample, nprobe argsort
+    cells, exact quantized ranking) recomputed STANDALONE in numpy over
+    the parquet — no Spark, no DataFrame machinery — and emitted as a
+    VALUES table.  Validates the distributed assignment/candidate-join/
+    ranking path against a single-machine reference.  The driver runs
+    oracles at sf0.01 (its documented contract), which this path
+    hardcodes; returns None (-> rows-only) if that input is absent."""
+    from pathlib import Path
+
+    import numpy as np
+
+    path = Path("/root/testdata/sf0.01/embeddings.parquet")
+    if not path.exists():
+        return None
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype="int64")
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"]])
+    n_cells, nprobe, k, n_iter, sample = 8, 2, 3, 5, 2048
+    Xs = X[:sample]
+    rng = np.random.default_rng(42)
+    C = Xs[rng.choice(len(Xs), size=min(n_cells, len(Xs)), replace=False)]
+    for _ in range(n_iter):
+        d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = Xs[m].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cells = np.argsort(d, axis=1)[:, :min(nprobe, len(C))]
+    Q = np.floor(X * SIM.QUANT).astype(np.int64)
+    norm2 = (Q * Q).sum(axis=1)
+    members: dict[int, list[int]] = {}
+    for i, cs in enumerate(cells):
+        for c in cs:
+            members.setdefault(int(c), []).append(i)
+    rows = []
+    for i in range(len(ids)):
+        cand = sorted({j for c in cells[i] for j in members[int(c)]} - {i})
+        if not cand:
+            continue
+        dots = Q[cand] @ Q[i]
+        cos = dots / (np.sqrt(norm2[cand].astype(np.float64))
+                      * np.sqrt(float(norm2[i])))
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
+        for r, j in enumerate(order[:k], start=1):
+            rows.append((int(ids[i]), int(ids[cand[j]]), float(cos[j]), r))
+    # 'e0' exponent: a bare decimal literal parses as DECIMAL first and
+    # the cast to DOUBLE can be 1 ulp off; an exponent literal parses
+    # straight to double with correct rounding
+    body = ", ".join(
+        (f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
+         f"CAST({c!r}e0 AS DOUBLE), CAST({r} AS BIGINT))") if i == 0
+        else f"({a}, {b}, {c!r}e0, {r})"
+        for i, (a, b, c, r) in enumerate(rows)
+    )
+    return (f"SELECT * FROM (VALUES {body}) "
+            f"AS t(vec_id, neighbor_id, cosine, rank)")
+
+
 def _shp_oracle_sql() -> str:
     """Ground truth from the fixture generator through the pure-python
     ring builder — the Spark side additionally round-trips through the
@@ -747,7 +811,7 @@ p_ AS (SELECT doc_id, size,
        FROM s_)"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     zc, zlast = OSQL.zorder_ctes_duckdb()
     n_tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
     stop = " + ".join(
@@ -1068,7 +1132,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN u >= 9223372036854775808
                              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
             FROM r""",
-        # s_ivf_topk: intentionally no oracle (rows-only) — the coarse
-        # quantizer is iterative float k-means (not SQL-expressible);
-        # recall vs exact top-k is pytest-gated instead.
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    ivf = _ivf_oracle_sql()
+    if ivf is not None:
+        out["s_ivf_topk"] = ivf
+    return out
