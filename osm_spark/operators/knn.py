@@ -177,7 +177,9 @@ def knn_join(
         .withColumn("dy", F.explode(off))
         .select(
             "feature_id", "flat", "flon",
-            (F.col("cx") + F.col("dx")).alias("cx"),
+            # cx wraps at the antimeridian (dist2 already wraps dlon);
+            # cy does not (no pole wrap) — out-of-range rows never match
+            F.pmod(F.col("cx") + F.col("dx"), F.lit(1 << cell_zoom)).alias("cx"),
             (F.col("cy") + F.col("dy")).alias("cy"),
         )
     )

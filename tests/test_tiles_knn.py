@@ -126,3 +126,21 @@ def test_knn_sparse_features_fallback(spark, geo_pages):
         for r in brute_force_knn(geo_pages, feats, k=1).collect()
     }
     assert got == want
+
+
+def test_knn_cell_path_antimeridian(spark):
+    """Cell-ring candidates wrap at ±180°: a point at lon +179.99°
+    finds a feature at -179.99° as its nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(
+        [(1, 100_000_000, 1_799_900_000)], "doc_id long, lat long, lon long")
+    feats = spark.createDataFrame(
+        [(7, 100_000_000, -1_799_900_000),   # 0.02° across the seam
+         (8, 100_000_000, 1_500_000_000)],   # 30° away on the same side
+        "feature_id long, lat long, lon long")
+    out = knn_join(pts, feats, k=1, cell_zoom=6, radius=1, key="doc_id",
+                   strategy="cells", exact=False).collect()
+    assert out and out[0].feature_id == 7
