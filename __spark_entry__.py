@@ -505,6 +505,14 @@ def q_t_jaccard_consecutive(spark, sf):
     return D.ngram_jaccard_consecutive(_t(spark, sf, "documents"))
 
 
+def q_t_dedup_components(spark, sf):
+    """Near-dup clusters: connected components of the MinHash pair
+    graph (iterative min-label propagation)."""
+    docs = _t(spark, sf, "documents")
+    return D.connected_components(docs.select("doc_id"),
+                                  D.minhash_pairs(docs))
+
+
 def q_s_cosine_topk(spark, sf):
     return SIM.cosine_topk(_t(spark, sf, "embeddings"), k=3)
 
@@ -570,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_pairs": q_t_minhash_pairs,
         "t_simhash": q_t_simhash,
         "t_jaccard_consecutive": q_t_jaccard_consecutive,
+        "t_dedup_components": q_t_dedup_components,
         "s_cosine_topk": q_s_cosine_topk,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
@@ -1011,6 +1020,23 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
         "t_simhash": _simhash_sql(),
+        # min-reachable-id closure via recursive CTE — the independent
+        # single-machine twin of the iterative label propagation
+        "t_dedup_components": f"""
+            WITH RECURSIVE {_minhash_sig_sql().lstrip()},
+            bands AS ({bands_union}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node)
+            SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+            FROM reach GROUP BY node""",
         "t_jaccard_consecutive": f"""
             WITH {OSQL.MINHASH_TOKS_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),

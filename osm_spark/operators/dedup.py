@@ -155,3 +155,45 @@ def minhash_dedup_groups(df: DataFrame, key: str = "doc_id", text: str = "text",
         .filter(F.col("jaccard") >= verify_threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         key: str = "doc_id",
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Dedup clusters: connected components of the near-dup pair graph
+    by iterative min-label propagation (each round: label = min(own,
+    neighbours') over the symmetrized edge set; localCheckpoint cuts
+    lineage per round; stops at fixpoint).
+
+    Rounds needed = graph diameter — near-dup clusters are shallow
+    (pairs of a group all share LSH buckets), so this converges in a
+    handful of joins; for adversarially long chains switch to the
+    large-star/small-star variant (same loop shape, log D rounds).
+    Returns (key, comp) with comp = min member id of the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(key).alias("a"), F.col(key).alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("a", "b")
+                     .withColumnRenamed("comp", "nc"), "b")
+            .groupBy("a").agg(F.min("nc").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr_min, "a", "left")
+            .select("a", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "a")
+            .filter(F.col("comp") != F.col("old")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(key), "comp")

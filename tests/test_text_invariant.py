@@ -70,3 +70,16 @@ def test_tag_classifier_dsl_semantics(spark):
     want = {(k, v): c for k, v, c in rows}
     for r in got:
         assert want[(r.key, r.val)] == r.cat, (r.key, r.val, r.cat)
+
+
+def test_connected_components_hand_graph(spark):
+    """Min-label propagation on a hand graph: chains merge, singletons
+    keep their own id."""
+    from osm_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = {r.doc_id: r.comp
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
