@@ -741,13 +741,19 @@ def _ivf_oracle_sql() -> str | None:
         order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
         for r, j in enumerate(order[:k], start=1):
             rows.append((int(ids[i]), int(ids[cand[j]]), float(cos[j]), r))
-    # 'e0' exponent: a bare decimal literal parses as DECIMAL first and
-    # the cast to DOUBLE can be 1 ulp off; an exponent literal parses
-    # straight to double with correct rounding
+    # Exponent literal: a bare decimal literal parses as DECIMAL first
+    # and the cast to DOUBLE can be 1 ulp off; an exponent literal
+    # parses straight to double with correct rounding.  repr() already
+    # emits an exponent for |x| < 1e-4 (e.g. '5e-05') — only append
+    # 'e0' when no exponent is present, else '5e-05e0' is a parse error.
+    def dlit(x: float) -> str:
+        s = repr(float(x))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
     body = ", ".join(
         (f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
-         f"CAST({c!r}e0 AS DOUBLE), CAST({r} AS BIGINT))") if i == 0
-        else f"({a}, {b}, {c!r}e0, {r})"
+         f"CAST({dlit(c)} AS DOUBLE), CAST({r} AS BIGINT))") if i == 0
+        else f"({a}, {b}, {dlit(c)}, {r})"
         for i, (a, b, c, r) in enumerate(rows)
     )
     return (f"SELECT * FROM (VALUES {body}) "

@@ -81,6 +81,14 @@ def build_rings(segments: list[tuple[np.ndarray, np.ndarray]]):
             lo = np.concatenate([lo, [LON_180, -LON_180, lo[0]]])
             la = np.concatenate([la, [CAP_LAT, CAP_LAT, la[0]]])
             return lo, la
+        elif lo[0] == LON_180 and lo[-1] == -LON_180:
+            # Antarctica chain in the reversed orientation (the
+            # reference only ever sees -180 -> +180, but real split
+            # extracts can present either): reverse then close as above.
+            lo, la = lo[::-1].copy(), la[::-1].copy()
+            lo = np.concatenate([lo, [LON_180, -LON_180, lo[0]]])
+            la = np.concatenate([la, [CAP_LAT, CAP_LAT, la[0]]])
+            return lo, la
         elif lo[0] == lo[-1] and la[0] == la[-1]:      # circular chain
             return lo, la
         else:

@@ -6,11 +6,12 @@ column expressions over the (way, key, val) tag table:
 - not routable (dropped): no highway tag, highway class not in the
   speed table, ``area=yes``, or ``access`` in the blacklist;
 - speed [km/h] from the highway class table;
-- oneway: ``no/0/false`` → 0, ``-1`` → -1, ``yes/1/true`` or an
-  UNRECOGNIZED oneway value on motorway/motorway_link → 1, any other
-  unrecognized value → 0.  A way with NO oneway tag is bidirectional
-  even for motorways — the reference's find raises before the implied-
-  oneway check (profile_car.ml:68-79), and we mirror that exactly.
+- oneway: ``no/0/false`` → 0, ``-1`` → -1, ``yes/1/true`` → 1,
+  otherwise (including a MISSING oneway tag) motorway/motorway_link
+  implies 1, everything else 0.  The reference's ``Tags.find`` returns
+  ``nil`` for a missing tag (routing_profile.ml:100-108) — it does NOT
+  raise — so execution reaches the implied-oneway check in
+  profile_car.ml:68-79 and a bare motorway is ONEWAY.
 """
 
 from __future__ import annotations
@@ -61,11 +62,15 @@ def apply_profile(way_tags: DataFrame, speeds: dict[str, float] | None = None,
         & (F.coalesce(F.col("area"), F.lit("")) != "yes")
         & ~F.coalesce(F.col("access"), F.lit("")).isin(ACCESS_BLACKLIST)
     )
-    oneway = F.when(F.col("oneway_tag").isNull(), F.lit(0)).otherwise(
-        F.when(F.col("oneway_tag").isin(FALSE_SET), F.lit(0))
-        .when(F.col("oneway_tag") == "-1", F.lit(-1))
+    # NULL oneway must fall through to the implied-oneway motorway
+    # branch, exactly like the reference's nil sentinel ('' is in no
+    # recognized value set, so it behaves identically).
+    ow = F.coalesce(F.col("oneway_tag"), F.lit(""))
+    oneway = (
+        F.when(ow.isin(FALSE_SET), F.lit(0))
+        .when(ow == "-1", F.lit(-1))
         .when(
-            F.col("oneway_tag").isin(TRUE_SET)
+            ow.isin(TRUE_SET)
             | F.col("highway").isin("motorway", "motorway_link"),
             F.lit(1),
         )

@@ -46,6 +46,20 @@ def test_antarctica_cap():
     assert ro[-1] == ro[0] and ra[-1] == ra[0]
 
 
+def test_antarctica_cap_reversed_orientation():
+    """A +180 -> -180 chain closes to the identical ring as the
+    canonical orientation (reversed first, then capped)."""
+    lo = np.array([CL.LON_180, 500_000_000, -500_000_000, -CL.LON_180], np.int64)
+    la = np.array([-700_000_000, -705_000_000, -710_000_000, -700_000_000], np.int64)
+    rings = CL.build_rings([(lo, la)])
+    assert len(rings) == 1
+    ro, ra = rings[0]
+    assert ro[-3] == CL.LON_180 and ra[-3] == CL.CAP_LAT
+    assert ro[-2] == -CL.LON_180 and ra[-2] == CL.CAP_LAT
+    assert ro[-1] == ro[0] and ra[-1] == ra[0]
+    assert ro[0] == -CL.LON_180            # canonical start after reversal
+
+
 def test_circular_chain_closes():
     a = (np.array([0, 100], np.int64), np.array([0, 0], np.int64))
     b = (np.array([100, 100], np.int64), np.array([0, 100], np.int64))

@@ -31,7 +31,7 @@ def test_profile_rules(spark):
     got = {r.way: (r.speed, r.oneway)
            for r in P.apply_profile(_tags(spark, rows)).collect()}
     assert got == {
-        1: (90.0, 0),   # reference quirk: missing oneway => bidirectional
+        1: (90.0, 1),   # missing oneway on motorway => implied oneway
         2: (90.0, 1),   # unrecognized oneway on motorway => implied oneway
         3: (25.0, -1),
         4: (65.0, 0),

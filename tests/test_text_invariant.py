@@ -73,7 +73,7 @@ def test_tag_classifier_dsl_semantics(spark):
 
 
 def test_connected_components_hand_graph(spark):
-    """Min-label propagation on a hand graph: chains merge, singletons
+    """Large-star/small-star on a hand graph: chains merge, singletons
     keep their own id."""
     from osm_spark.operators.dedup import connected_components
 
@@ -83,3 +83,31 @@ def test_connected_components_hand_graph(spark):
     got = {r.doc_id: r.comp
            for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain(spark):
+    """A 1,000-node path graph (diameter 999) converges in O(log n)
+    round pairs — the adversarial case plain label propagation handles
+    in O(D) rounds — with every node labelled by the chain minimum."""
+    from osm_spark.operators.dedup import connected_components
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    # max_iter=15 round pairs bounds the evidence: log2(1000) ~ 10;
+    # plain propagation would need 999 rounds and raise here
+    got = {r.doc_id: r.comp
+           for r in connected_components(nodes, edges, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from osm_spark.operators.dedup import connected_components
+    import pytest as _pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_iter=1)
