@@ -149,7 +149,12 @@ def q_r17_union(spark, sf):
 
 
 def q_r19_dict_encode(spark, sf):
-    return R.dictionary_encode(_t(spark, sf, "part"), "p_type")
+    """R19 + R20 in one probe: build the dictionary, then apply it back
+    to the rows (broadcast lookup) — every part with its dense type id."""
+    p = _t(spark, sf, "part")
+    d = R.dictionary_encode(p, "p_type")
+    return R.dictionary_apply(p.select("p_partkey", "p_type"), d, "p_type") \
+        .select("p_partkey", "p_type", "str_id")
 
 
 def q_r21_group_collect(spark, sf):
@@ -205,20 +210,27 @@ def q_g17_knn(spark, sf):
     feats = spark.createDataFrame(
         OSQL.knn_features(32), "feature_id long, lat long, lon long"
     )
-    out = knn_join(docs, feats, k=1, cell_zoom=8, radius=2, key="doc_id")
+    out = knn_join(docs, feats, k=1, cell_zoom=8, radius=2, key="doc_id",
+                   n_features=32)  # hoisted: no plan-time count()
     return out.select("doc_id", "feature_id", "dist2", F.col("rank").alias("rnk"))
 
 
-def q_g11_zorder(spark, sf):
-    docs = _geo_docs(spark, sf)
-    d = docs.withColumn("u", F.expr(f"(lat - {FX.LAT0}) DIV 2048")).withColumn(
+def q_g10_curve_keys(spark, sf):
+    """G10 + G11 + R13 in one probe: Hilbert key, Z-order key, and the
+    Hilbert permute position (the scatter target of the storage-side
+    clustering reorder, cluster.py:62-69)."""
+    d = with_hilbert_key(_geo_docs(spark, sf))
+    d = d.withColumn("u", F.expr(f"(lat - {FX.LAT0}) DIV 2048")).withColumn(
         "v", F.expr(f"(lon - {FX.LON0}) DIV 2048")
     )
     for s, m in OSQL._DILATE:
         d = d.withColumn("u", F.expr(f"(u | shiftleft(u, {s})) & {m}")).withColumn(
             "v", F.expr(f"(v | shiftleft(v, {s})) & {m}")
         )
-    return d.select("doc_id", F.expr("shiftleft(u, 1) | v").alias("zkey"))
+    w = Window.orderBy("hkey", "doc_id")
+    return d.select(
+        "doc_id", "hkey", F.expr("shiftleft(u, 1) | v").alias("zkey"),
+        F.row_number().over(w).cast("long").alias("pos"))
 
 
 def q_g01_distance(spark, sf):
@@ -308,16 +320,12 @@ def q_g22_viewport(spark, sf):
     return T.viewport_query(tiles, 12, clat - r, clat + r, clon - r, clon + r)
 
 
-def q_g10_hilbert(spark, sf):
-    return with_hilbert_key(_geo_docs(spark, sf)).select("doc_id", "hkey")
-
-
-def q_s_near_dup(spark, sf):
-    return SIM.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.4)
-
-
 def q_s_near_dup_bucketed(spark, sf):
-    return SIM.cosine_near_dup_bucketed(_t(spark, sf, "embeddings"), threshold=0.4)
+    # dim hoisted: no plan-time first() (the all-pairs twin
+    # cosine_near_dup is pytest-equal on the same input — see
+    # tests/test_cluster_multimodal.py)
+    return SIM.cosine_near_dup_bucketed(
+        _t(spark, sf, "embeddings"), threshold=0.4, dim=64)
 
 
 def q_mm_byte_hist(spark, sf):
@@ -477,20 +485,14 @@ def q_t_dedup_exact(spark, sf):
     return D.exact_dedup(_t(spark, sf, "documents"))
 
 
-def q_t_token_count(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
-
-
-def q_t_quality(spark, sf):
+def q_t_text_stats(spark, sf):
+    """Token count + quality ratios + language-ID in one pass over the
+    documents table (the shape a real corpus-stats stage has: all cheap
+    per-doc text metrics fused into a single scan)."""
     d = TX.with_quality(_t(spark, sf, "documents"))
-    return d.select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio")
-
-
-def q_t_langid(spark, sf):
-    return _t(spark, sf, "documents").select(
-        "doc_id", TX.langid_col(F.col("text")).alias("pred_lang")
-    )
+    return d.select(
+        "doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
+        TX.langid_col(F.col("text")).alias("pred_lang"))
 
 
 def q_t_minhash_pairs(spark, sf):
@@ -518,7 +520,8 @@ def q_s_cosine_topk(spark, sf):
 
 
 def q_s_lsh_topk(spark, sf):
-    return SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3)
+    # dim hoisted: no plan-time first() in the query's construction
+    return SIM.lsh_topk(_t(spark, sf, "embeddings"), k=3, dim=64)
 
 
 def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
@@ -528,6 +531,153 @@ def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
 def q_t_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
+
+
+# --- composed / golden-backed queries -----------------------------------
+
+
+X7_PAIRS = [(0, 35), (7, 20), (13, 2), (5, 30), (31, 4)]
+
+
+def q_x7_ch_path(spark, sf):
+    """X7: bidirectional upward CH query + recursive shortcut expansion
+    (routing.ml:49-79 search, 92-145 expansion) on the grid-6 road
+    network — one row per path hop for a fixed (s, t) set.  The CH edge
+    set is collected driver-side by design: path queries are a serving
+    operation over the (small) contracted overlay in the reference too."""
+    nodes, refs = FX.road_network_dfs(spark, grid=6)
+    edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
+    res = RT.contract(edges)
+    ch_rows = [(r.src, r.dst, r.weight, r.via, r.rank_src, r.rank_dst)
+               for r in res.edges.collect()]
+    out = []
+    for s, t in X7_PAIRS:
+        dist, path = RT.ch_query_path(ch_rows, s, t)
+        for i, nd in enumerate(path):
+            out.append((s, t, i, int(nd), round(dist, 6)))
+    return spark.createDataFrame(
+        out, "src long, dst long, seq long, node long, dist_r double")
+
+
+E2E_DSL = [
+    ("type", [("any", ["multipolygon"], 5)]),
+    ("ref", [("any", ["3"], 7)]),
+]
+E2E_ZOOMS = (8, 12)
+
+
+def q_e2e_pbf_tiles(spark, sf):
+    """The reference's signature program end-to-end (§3.2): PBF source →
+    normalized base tables → member gather (S4) → multipolygon ring
+    assembly (G20/G21/G9) → tag merge (multipolygons.ml:636-676) → DSL
+    classify (§2.4b) → per-zoom feature tile fan-out (surfaces.ml:625-766).
+    One composed query catches inter-stage schema drift that the
+    per-stage green rows cannot."""
+    from osm_spark.operators import category as CAT
+    from osm_spark.sources import pbf
+
+    t = pbf.read_pbf(spark, _pbf_fixture_path())
+    mp_rels = (t["rel_tags"]
+               .filter("key = 'type' AND val = 'multipolygon'")
+               .select("relation").distinct())
+    way_members = (
+        t["rel_members"].filter("mtype = 1")
+        .join(mp_rels, "relation")
+        .select("relation", F.col("member").alias("way"),
+                F.when(F.col("role") == "inner", F.lit(1))
+                .otherwise(F.lit(0)).alias("role")))
+    m = MP.gather_members(way_members, t["way_refs"], t["nodes"])
+    rings = MP.assemble_multipolygons(m).filter("valid")
+    ptags = MP.polygon_tags(
+        t["rel_tags"], t["way_tags"],
+        way_members.filter("role = 0").select("relation", "way"))
+    cat = (ptags.join(rings.select("relation").distinct(), "relation")
+           .groupBy("relation")
+           .agg(F.max(CAT.classify_tags("key", "val", E2E_DSL))
+                .alias("category")))
+    polys = (
+        rings.groupBy("relation")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                "ring_idx", "role", "lats", "lons"))),
+            lambda r: F.struct(
+                r["role"].alias("role"), r["lats"].alias("lat"),
+                r["lons"].alias("lon"))).alias("rings"))
+        .join(cat, "relation")
+        .select(F.col("relation").alias("feature_id"),
+                F.col("category").cast("int").alias("category"),
+                F.lit(0).alias("layer"), "rings"))
+    return T.feature_tiles(polys, zooms=E2E_ZOOMS).select(
+        "feature_id", "category", "band",
+        F.col("z").cast("long").alias("z"), "x", "y")
+
+
+# deterministic kernel-probe fixtures (fixed-point ints; square ring)
+KRING_X = [0, 100, 100, 0, 0]
+KRING_Y = [0, 0, 100, 100, 0]
+KSEG_CASES = [
+    (0, 0, 10, 10, 0, 10, 10, 0),     # proper cross
+    (0, 0, 10, 0, 5, 0, 5, 10),       # T-touch on interior
+    (0, 0, 10, 0, 20, 0, 30, 0),      # collinear disjoint
+    (0, 0, 10, 0, 5, 0, 15, 0),       # collinear overlap
+    (0, 0, 10, 0, 10, 0, 20, 10),     # shared endpoint
+    (0, 0, 10, 0, 0, 5, 10, 5),       # parallel offset
+    (0, 0, 4, 4, 10, 0, 6, 8),        # skew disjoint
+    (-5, -5, 5, 5, -5, 5, 5, -5),     # X at origin
+]
+KPT_CASES = [(0, 0), (50, 0), (100, 100), (50, 50), (150, 50),
+             (50, -1), (100, 50), (0, 101), (200, 0), (100, 1)]
+KMID_CASES = [
+    (10, 10, 20, 20),      # mid (15,15) inside
+    (90, 90, 120, 120),    # mid (105,105) outside
+    (-20, 50, 10, 50),     # mid (-5,50) outside left
+    (40, 40, 60, 60),      # mid (50,50) inside
+    (101, 0, 121, 0),      # mid (111,0) outside right
+]
+KSMOOTH_LINES = [
+    (0, [0, 100, 100, 200], [0, 0, 100, 100]),
+    (1, [0, 50, 100], [0, 80, 0]),
+    (2, [0, 10], [0, 10]),             # <3 pts: passthrough
+]
+
+
+def q_g_kernel_values(spark, sf):
+    """G3 + G5 + G7 + G14 scalar kernels over deterministic VALUES
+    fixtures, driven through the Arrow-batched column wrappers
+    (geomops.py).  Normalized row shape (kind, case_id, pt_idx, a, b):
+    flags in ``a`` for the predicates; quantized curve coords (a, b)
+    for the smoother."""
+    z = F.lit(0).cast("long")
+    seg = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(KSEG_CASES)],
+        "case_id long, x1 long, y1 long, x2 long, y2 long,"
+        " x3 long, y3 long, x4 long, y4 long")
+    seg_out = seg.select(
+        F.lit("seg_intersect").alias("kind"), "case_id", z.alias("pt_idx"),
+        GM.segments_intersect_col(
+            "x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"
+        ).cast("long").alias("a"), z.alias("b"))
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(KPT_CASES)],
+        "case_id long, x long, y long")
+    pt_out = pts.select(
+        F.lit("pt_boundary").alias("kind"), "case_id", z.alias("pt_idx"),
+        GM.point_on_ring_col("x", "y", KRING_X, KRING_Y)
+        .cast("long").alias("a"), z.alias("b"))
+    mid = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(KMID_CASES)],
+        "case_id long, x1 long, y1 long, x2 long, y2 long")
+    mid_out = mid.select(
+        F.lit("mid_pip").alias("kind"), "case_id", z.alias("pt_idx"),
+        GM.midpoint_in_ring_col("x1", "y1", "x2", "y2", KRING_X, KRING_Y)
+        .cast("long").alias("a"), z.alias("b"))
+    lines = spark.createDataFrame(
+        KSMOOTH_LINES, "line_id long, xs array<long>, ys array<long>")
+    sm = GM.smooth_polylines(lines, n_sub=4)
+    sm_out = sm.select(
+        F.lit("smooth").alias("kind"), F.col("line_id").alias("case_id"),
+        "pt_idx", F.col("qx").alias("a"), F.col("qy").alias("b"))
+    return seg_out.unionByName(pt_out).unionByName(mid_out).unionByName(sm_out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -549,7 +699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g06_pip_tag": q_g06_pip_tag,
         "g22_tile_assign": q_g22_tile_assign,
         "g17_knn": q_g17_knn,
-        "g11_zorder": q_g11_zorder,
         "g01_distance": q_g01_distance,
         "g08_area": q_g08_area,
         "g12_dp": q_g12_dp,
@@ -558,8 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
         "l_linear_tiles": q_l_linear_tiles,
         "g22_viewport": q_g22_viewport,
-        "g10_hilbert": q_g10_hilbert,
-        "s_near_dup": q_s_near_dup,
+        "g10_curve_keys": q_g10_curve_keys,
         "s_near_dup_bucketed": q_s_near_dup_bucketed,
         "mm_byte_hist": q_mm_byte_hist,
         "mm_frames": q_mm_frames,
@@ -572,9 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
         "t_dedup_exact": q_t_dedup_exact,
-        "t_token_count": q_t_token_count,
-        "t_quality": q_t_quality,
-        "t_langid": q_t_langid,
+        "t_text_stats": q_t_text_stats,
         "t_minhash_pairs": q_t_minhash_pairs,
         "t_simhash": q_t_simhash,
         "t_jaccard_consecutive": q_t_jaccard_consecutive,
@@ -583,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
         "t_fingerprint": q_t_fingerprint,
+        "x7_ch_path": q_x7_ch_path,
+        "e2e_pbf_tiles": q_e2e_pbf_tiles,
+        "g_kernel_values": q_g_kernel_values,
     }
 
 
@@ -614,7 +763,9 @@ h AS (SELECT doc_id, {OSQL.TOKEN_HASH_DUCKDB} % {D.MERSENNE} AS h FROM toks),
 sig AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id)"""
 
 
-def _langid_sql():
+def _text_stats_sql(n_tok: str, stop: str) -> str:
+    """Fused token-count / quality / language-ID twin (one SELECT per
+    metric family over documents, joined on doc_id)."""
     def cnt(w):
         return f"((length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2})"
 
@@ -629,8 +780,14 @@ def _langid_sql():
     sels = ", ".join(f"{e} AS s_{lg}" for lg, e in scores.items())
     return f"""
 WITH sc AS (SELECT doc_id, {sels} FROM documents),
-b AS (SELECT doc_id, {best} AS best, * FROM sc)
-SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM b"""
+b AS (SELECT doc_id, {best} AS best, * FROM sc),
+l AS (SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM b),
+q AS (SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens,
+             (length(text) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE) AS mean_tok_len,
+             CAST({stop} AS DOUBLE) / {n_tok} AS stop_ratio
+      FROM documents)
+SELECT q.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio, l.pred_lang
+FROM q JOIN l USING (doc_id)"""
 
 
 def _simhash_sql():
@@ -682,12 +839,20 @@ def _golden_sql(name: str) -> str:
     )
 
 
-def _hilbert_oracle_sql() -> str:
-    ctes, last = OSQL.hilbert_ctes_duckdb()
+def _curve_keys_oracle_sql(zc: str, zlast: str) -> str:
+    """Merged G10+G11+R13 twin: unrolled Hilbert rotation CTEs + dilate
+    CTEs over the same pts, joined, with the permute position as a
+    row_number over the Hilbert order."""
+    hctes, hlast = OSQL.hilbert_ctes_duckdb()
     return f"""
         WITH {OSQL.PTS_CTE},
-        {ctes}
-        SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {last}"""
+        {zc},
+        {hctes},
+        z_ AS (SELECT doc_id, ((u << 1) | v) AS zkey FROM {zlast}),
+        h_ AS (SELECT doc_id, CAST(d AS BIGINT) AS hkey FROM {hlast})
+        SELECT z_.doc_id, h_.hkey, z_.zkey,
+               CAST(row_number() OVER (ORDER BY h_.hkey, z_.doc_id) AS BIGINT) AS pos
+        FROM z_ JOIN h_ USING (doc_id)"""
 
 
 def _ivf_oracle_sql() -> str | None:
@@ -870,8 +1035,11 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, 2 AS src FROM orders WHERE o_totalprice > 300000""",
         "r19_dict_encode": """
-            SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS str_id
-            FROM (SELECT DISTINCT p_type FROM part)""",
+            WITH d AS (
+              SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS str_id
+              FROM (SELECT DISTINCT p_type FROM part))
+            SELECT p.p_partkey, p.p_type, d.str_id
+            FROM part p JOIN d USING (p_type)""",
         "r21_group_collect": """
             SELECT l_orderkey, string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber::VARCHAR) AS l_linenumber_list
             FROM lineitem GROUP BY l_orderkey""",
@@ -906,10 +1074,6 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM pts p CROSS JOIN feats f),
             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, feature_id) AS rnk FROM d)
             SELECT doc_id, feature_id, dist2, rnk FROM r WHERE rnk <= 1""",
-        "g11_zorder": f"""
-            WITH {OSQL.PTS_CTE},
-            {zc}
-            SELECT doc_id, ((u << 1) | v) AS zkey FROM {zlast}""",
         "g01_distance": f"""
             WITH {OSQL.PTS_CTE},
             nxt AS (SELECT doc_id,
@@ -938,7 +1102,7 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT relation, key, val FROM common_minus_rel""",
         "g22_viewport": _viewport_oracle_sql(),
-        "g10_hilbert": _hilbert_oracle_sql(),
+        "g10_curve_keys": _curve_keys_oracle_sql(zc, zlast),
         "c_tag_dsl": _tag_dsl_oracle_sql(),
         "s3_shp_coastline": _shp_oracle_sql(),
         "s1_pbf_nodes": _pbf_oracle(
@@ -953,21 +1117,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "l_linear_tiles": _golden_sql("l_linear_tiles"),
         "g20_mp_assembly": _golden_sql("g20_mp_assembly"),
         "x5_ch_shortcuts": _golden_sql("x5_ch_shortcuts"),
-        "s_near_dup": f"""
-            WITH comp AS (
-              SELECT vec_id, unnest(range(len(embedding))) AS idx,
-                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SIM.QUANT}) AS BIGINT) AS q
-              FROM embeddings),
-            norms AS (SELECT vec_id, sum(q * q) AS norm2 FROM comp GROUP BY vec_id),
-            dots AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.q * b.q) AS dot
-              FROM comp a JOIN comp b ON a.idx = b.idx AND a.vec_id < b.vec_id
-              GROUP BY 1, 2)
-            SELECT d.id_a, d.id_b,
-                   d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
-            FROM dots d JOIN norms na ON na.vec_id = d.id_a
-                        JOIN norms nb ON nb.vec_id = d.id_b
-            WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4""",
+        "x7_ch_path": _golden_sql("x7_ch_path"),
+        "e2e_pbf_tiles": _golden_sql("e2e_pbf_tiles"),
+        "g_kernel_values": _golden_sql("g_kernel_values"),
         "stream_window_counts": """
             SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
                    event_type, count(*) AS n,
@@ -1013,13 +1165,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",
-        "t_token_count": f"SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents",
-        "t_quality": f"""
-            SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens,
-                   (length(text) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE) AS mean_tok_len,
-                   CAST({stop} AS DOUBLE) / {n_tok} AS stop_ratio
-            FROM documents""",
-        "t_langid": _langid_sql(),
+        "t_text_stats": _text_stats_sql(n_tok, stop),
         "t_minhash_pairs": f"""
             WITH {_minhash_sig_sql().lstrip()},
             bands AS ({bands_union})

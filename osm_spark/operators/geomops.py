@@ -74,3 +74,79 @@ def feature_dp_counts(polys: DataFrame, ratio: int) -> DataFrame:
 
     return polys.select("feature_id", "rings").mapInPandas(
         fn, "feature_id long, n_in long, n_kept long")
+
+
+# ---------------------------------------------------------------------------
+# scalar-kernel probes (G3/G5/G7/G14) — DataFrame plumbing over the same
+# vectorized kernels the join/assembly operators use, for driver-checkable
+# VALUES-fixture queries.
+
+
+def segments_intersect_col(x1, y1, x2, y2, x3, y3, x4, y4):
+    """G3: segment-intersection flag column (geometry.ml:63-104
+    semantics incl. collinear overlap), Arrow-batched."""
+
+    @F.pandas_udf("boolean")
+    def fn(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series,
+           e: pd.Series, f_: pd.Series, g: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(K.segments_intersect(
+            a.to_numpy(np.int64), b.to_numpy(np.int64),
+            c.to_numpy(np.int64), d.to_numpy(np.int64),
+            e.to_numpy(np.int64), f_.to_numpy(np.int64),
+            g.to_numpy(np.int64), h.to_numpy(np.int64)))
+
+    return fn(x1, y1, x2, y2, x3, y3, x4, y4)
+
+
+def point_on_ring_col(x, y, ring_x, ring_y):
+    """G5: point-on-ring-boundary flag (geometry.ml:148-155); the ring
+    (closed vertex arrays) is broadcast inside the UDF closure."""
+    rx = np.asarray(ring_x, np.int64)
+    ry = np.asarray(ring_y, np.int64)
+
+    @F.pandas_udf("boolean")
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(K.points_on_ring_boundary(
+            a.to_numpy(np.int64), b.to_numpy(np.int64), rx, ry))
+
+    return fn(x, y)
+
+
+def midpoint_in_ring_col(x1, y1, x2, y2, ring_x, ring_y):
+    """G7: segment-midpoint-in-ring flag at doubled coordinates
+    (geometry.ml:176-209 — exact, no division)."""
+    rx = np.asarray(ring_x, np.int64)
+    ry = np.asarray(ring_y, np.int64)
+
+    @F.pandas_udf("boolean")
+    def fn(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(K.midpoints_in_ring(
+            a.to_numpy(np.int64), b.to_numpy(np.int64),
+            c.to_numpy(np.int64), d.to_numpy(np.int64), rx, ry))
+
+    return fn(x1, y1, x2, y2)
+
+
+def smooth_polylines(lines: DataFrame, n_sub: int = 4,
+                     quant: int = 1_000_000) -> DataFrame:
+    """G14: centripetal Catmull-Rom smoothing (line_smoothing.ml:93-211)
+    per line, exploded to (line_id, pt_idx, qx, qy) rows with outputs
+    quantized to int64 at ``quant`` (deterministic IEEE on identical
+    inputs, so the quantization is stable)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"line_id": [], "pt_idx": [], "qx": [], "qy": []}
+            for lid, xs, ys in zip(pdf["line_id"], pdf["xs"], pdf["ys"]):
+                ox, oy = K.catmull_rom(np.asarray(xs, np.int64),
+                                       np.asarray(ys, np.int64), n_sub=n_sub)
+                qx = np.floor(ox * quant).astype(np.int64)
+                qy = np.floor(oy * quant).astype(np.int64)
+                out["line_id"].extend([int(lid)] * len(qx))
+                out["pt_idx"].extend(range(len(qx)))
+                out["qx"].extend(qx.tolist())
+                out["qy"].extend(qy.tolist())
+            yield pd.DataFrame(out)
+
+    return lines.select("line_id", "xs", "ys").mapInPandas(
+        fn, "line_id long, pt_idx long, qx long, qy long")

@@ -94,6 +94,51 @@ def dijkstra(adj: dict, src) -> dict:
     return dist
 
 
+# --- independent scalar geometry (for g_kernel_values) ------------------
+
+
+def scalar_seg_intersect(x1, y1, x2, y2, x3, y3, x4, y4) -> bool:
+    """Independent proper/improper segment intersection (orientation +
+    on-segment tests, exact int arithmetic)."""
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+
+    def on_seg(px, py, ax, ay, bx, by):
+        return (orient(ax, ay, bx, by, px, py) == 0
+                and min(ax, bx) <= px <= max(ax, bx)
+                and min(ay, by) <= py <= max(ay, by))
+
+    d1 = orient(x1, y1, x2, y2, x3, y3)
+    d2 = orient(x1, y1, x2, y2, x4, y4)
+    d3 = orient(x3, y3, x4, y4, x1, y1)
+    d4 = orient(x3, y3, x4, y4, x2, y2)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+            and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    return (on_seg(x3, y3, x1, y1, x2, y2) or on_seg(x4, y4, x1, y1, x2, y2)
+            or on_seg(x1, y1, x3, y3, x4, y4) or on_seg(x2, y2, x3, y3, x4, y4))
+
+
+def scalar_on_boundary(x, y, rx, ry) -> bool:
+    return any(
+        ((bx - ax) * (y - ay) - (x - ax) * (by - ay)) == 0
+        and min(ax, bx) <= x <= max(ax, bx) and min(ay, by) <= y <= max(ay, by)
+        for (ax, ay), (bx, by) in zip(zip(rx, ry), zip(rx[1:], ry[1:])))
+
+
+def scalar_pip(x, y, rx, ry) -> bool:
+    """Crossing-number PIP with the reference's exact tie conventions
+    (geometry.ml:157-174), scalar re-statement."""
+    cnt = 0
+    for (ax, ay), (bx, by) in zip(zip(rx, ry), zip(rx[1:], ry[1:])):
+        pi, pj = ay >= y, by >= y
+        if pi != pj:
+            d = (bx - ax) * (y - ay) - (x - ax) * (by - ay)
+            if (d >= 0) != pi:
+                cnt += 1
+    return cnt % 2 == 1
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -213,6 +258,142 @@ def main() -> int:
         print("  x5_ch_shortcuts: pure-python Dijkstra distances preserved")
 
     record("x5_ch_shortcuts", qs["x5_ch_shortcuts"](spark, sf), check_ch)
+
+    # --- x7_ch_path: optimal-walk property vs pure-python Dijkstra ------
+    def check_x7(pdf):
+        nodes_df, refs = FX.road_network_dfs(spark, grid=6)
+        base = RT.extract_edges(refs, nodes_df).select(
+            "src", "dst", "weight").collect()
+        orig = {(r.src, r.dst): r.weight for r in base}
+        adj = {}
+        for (s, d), w in orig.items():
+            adj.setdefault(s, []).append((d, w))
+        for s, t in entry.X7_PAIRS:
+            want = dijkstra(adj, s).get(t, float("inf"))
+            sub = pdf[(pdf.src == s) & (pdf.dst == t)].sort_values("seq")
+            path = [int(n) for n in sub.node]
+            assert path[0] == s and path[-1] == t, (s, t, path)
+            walk = 0.0
+            for u, v in zip(path, path[1:]):
+                assert (u, v) in orig, (u, v)   # every hop an original edge
+                walk += orig[(u, v)]
+            assert abs(walk - want) < 1e-6 * max(want, 1.0), (s, t, walk, want)
+            assert abs(sub.dist_r.iloc[0] - round(want, 6)) < 1e-6
+        print("  x7_ch_path: paths are optimal walks (pure-python Dijkstra)")
+
+    record("x7_ch_path", qs["x7_ch_path"](spark, sf), check_x7)
+
+    # --- e2e_pbf_tiles: fixture-truth recompute of the composed chain ---
+    def check_e2e(pdf):
+        from osm_spark.sources import pbf_fixture
+
+        data = pbf_fixture.sample_osm()
+        node_ll = {}
+        for blk in data["blocks"]:
+            for nid, rla, rlo, _tags in blk["nodes"]:
+                node_ll[nid] = (pbf_fixture._fp(blk["lat_off"], blk["granularity"], rla),
+                                pbf_fixture._fp(blk["lon_off"], blk["granularity"], rlo))
+        way_nodes = {wid: refs for wid, refs, _t in data["ways"]}
+        way_tags = {wid: t for wid, refs, t in data["ways"]}
+
+        def rings_close(members):
+            """Pure-python chain closure over member way node-id lists."""
+            segs = [list(way_nodes[w]) for _role, w, in members]
+            rings, pool = [], segs[:]
+            while pool:
+                cur = pool.pop(0)
+                progress = True
+                while cur[0] != cur[-1] and progress:
+                    progress = False
+                    for i, s in enumerate(pool):
+                        if s[0] == cur[-1]:
+                            cur = cur + s[1:]; pool.pop(i); progress = True; break
+                        if s[-1] == cur[-1]:
+                            cur = cur + s[::-1][1:]; pool.pop(i); progress = True; break
+                if cur[0] != cur[-1]:
+                    return None
+                rings.append(cur)
+            return rings
+
+        # expected valid multipolygon relations + their full-res bbox
+        expect = {}
+        for rid, members, rtags in data["relations"]:
+            if rtags.get("type") != "multipolygon":
+                continue
+            wms = [(0 if role != "inner" else 1, m)
+                   for mt, m, role in members if mt == 1]
+            rings = rings_close(wms)
+            if rings is None:
+                continue
+            outer_ws = [m for role, m in wms if role == 0]
+            tags = dict(rtags)
+            common = None
+            for w in outer_ws:
+                t = set(way_tags[w].items())
+                common = t if common is None else (common & t)
+            for k, v in (common or set()):
+                tags.setdefault(k, v)
+            cat = max(
+                (5 if (k, v) == ("type", "multipolygon")
+                 else 7 if (k, v) == ("ref", "3")
+                 else -1)
+                for k, v in tags.items())
+            pts = [node_ll[n] for ring in rings for n in ring]
+            expect[rid] = (cat, min(p[0] for p in pts), max(p[0] for p in pts),
+                           min(p[1] for p in pts), max(p[1] for p in pts))
+        got_feats = {int(f): int(c) for f, c in
+                     zip(pdf.feature_id, pdf.category)}
+        assert got_feats == {r: c for r, (c, *_bb) in expect.items()}, (
+            got_feats, expect)
+        LON_OFFSET, LON_WORLD = 1_800_000_000, 3_600_000_000
+        for z in sorted(pdf.z.unique()):
+            for rid, (_c, la0, la1, lo0, lo1) in expect.items():
+                sub = pdf[(pdf.feature_id == rid) & (pdf.z == z)]
+                if not len(sub):
+                    continue      # dropped by the band's area cutoff
+                x0 = (lo0 + LON_OFFSET) * (1 << int(z)) // LON_WORLD
+                x1 = (lo1 + LON_OFFSET) * (1 << int(z)) // LON_WORLD
+                assert set(sub.x) == set(range(x0, x1 + 1)), (rid, z)
+                ys = sorted(set(sub.y))
+                assert ys == list(range(ys[0], ys[-1] + 1))
+                assert all(0 <= y < (1 << int(z)) for y in ys)
+                # full rectangle fan-out
+                assert len(sub) == len(set(sub.x)) * len(ys)
+        print("  e2e_pbf_tiles: fixture-truth features/categories/x-spans agree")
+
+    record("e2e_pbf_tiles", qs["e2e_pbf_tiles"](spark, sf), check_e2e)
+
+    # --- g_kernel_values: independent scalar geometry -------------------
+    def check_kernels(pdf):
+        rx, ry = entry.KRING_X, entry.KRING_Y
+        for r in pdf[pdf.kind == "seg_intersect"].itertuples():
+            want = scalar_seg_intersect(*entry.KSEG_CASES[int(r.case_id)])
+            assert bool(r.a) == want, ("seg", r.case_id)
+        for r in pdf[pdf.kind == "pt_boundary"].itertuples():
+            x, y = entry.KPT_CASES[int(r.case_id)]
+            assert bool(r.a) == scalar_on_boundary(x, y, rx, ry), ("pt", r.case_id)
+        for r in pdf[pdf.kind == "mid_pip"].itertuples():
+            x1, y1, x2, y2 = entry.KMID_CASES[int(r.case_id)]
+            want = scalar_pip(x1 + x2, y1 + y2,
+                              [2 * v for v in rx], [2 * v for v in ry])
+            assert bool(r.a) == want, ("mid", r.case_id)
+        q = 1_000_000
+        for lid, xs, ys in entry.KSMOOTH_LINES:
+            sub = pdf[(pdf.kind == "smooth") & (pdf.case_id == lid)] \
+                .sort_values("pt_idx")
+            n = len(xs)
+            n_sub = 4
+            want_n = n if n < 3 else 1 + (n - 1) * n_sub
+            assert len(sub) == want_n, (lid, len(sub), want_n)
+            # curve passes through every input vertex at the knots
+            step = 1 if n < 3 else n_sub
+            for k, (vx, vy) in enumerate(zip(xs, ys)):
+                row = sub.iloc[k * step]
+                assert abs(int(row.a) - vx * q) <= 1, (lid, k)
+                assert abs(int(row.b) - vy * q) <= 1, (lid, k)
+        print("  g_kernel_values: independent scalar geometry agrees")
+
+    record("g_kernel_values", qs["g_kernel_values"](spark, sf), check_kernels)
 
     spark.stop()
     return 0
