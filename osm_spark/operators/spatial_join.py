@@ -271,13 +271,14 @@ def _broadcast_join_mapper(bc, z: int, how: str):
 # top-level joins
 
 
-def suggest_salt(pages: DataFrame, z: int = DEFAULT_CELL_ZOOM,
+def suggest_salt(pages: DataFrame, z: int = DEFAULT_CELL_ZOOM - 3,
                  max_salt: int = 64) -> int:
     """Salt factor from the measured cell histogram (SURVEY.md §7: hot
     cells are cities by construction; the factor is computed, not
     guessed): replicate enough that the hottest cell's share lands near
-    the p95 cell.  Clamped to [1, max_salt]; AQE skew-join remains the
-    runtime backstop."""
+    the p95 cell.  Measure at the zoom the salt will apply to — the
+    COGROUP zoom (z-3), not the fine PIP zoom.  Clamped to
+    [1, max_salt]; AQE skew-join remains the runtime backstop."""
     import math
 
     counts = with_cell(pages, z).groupBy("cx", "cy").count()
@@ -305,6 +306,15 @@ def broadcast_polygon_index(polys: DataFrame, z: int = DEFAULT_CELL_ZOOM):
 BROADCAST_MAX_VERTS = 2_000_000
 
 
+# Per-worker cache of built group indexes.  Salt replicas of the same
+# coarse cell carry IDENTICAL polygon sets — whenever two replicas land
+# on the same (reused) Python worker, the second skips the rebuild
+# entirely.  FIFO-bounded; keyed by (cx, cy) + a feature-id checksum so
+# a stale entry can never match a different polygon set.
+_GROUP_INDEX_CACHE: dict = {}
+_GROUP_INDEX_CACHE_MAX = 32
+
+
 def _cogroup_cell_fn(page_key: str, z: int):
     """Cogrouped (pages-in-coarse-cell, polygons-in-coarse-cell) →
     exact matches.
@@ -315,32 +325,25 @@ def _cogroup_cell_fn(page_key: str, z: int):
     index over the group's polygons, then one vectorized PIP pass per
     occupied fine cell.  Cogrouping at a coarser zoom keeps groups few
     and large (per-group Arrow overhead amortizes over ~10^3-10^4
-    pages instead of ~10^2)."""
+    pages instead of ~10^2); the per-worker index cache dedups the
+    build across salt replicas of the same cell."""
 
-    def fn(pts_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pts_pdf: pd.DataFrame,
+           polys_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pts_pdf) or not len(polys_pdf):
             return pd.DataFrame({
                 "k": pd.array([], dtype="int64"),
                 "feature_id": pd.array([], dtype="int64"),
             })
-        rows = []
-        for fid, roles, lens, fla, flo in zip(
-            polys_pdf["feature_id"], polys_pdf["roles"], polys_pdf["lens"],
-            polys_pdf["flat_lat"], polys_pdf["flat_lon"],
-        ):
-            la = np.asarray(fla, np.int64)
-            lo = np.asarray(flo, np.int64)
-            offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
-            rows.append({
-                "feature_id": int(fid),
-                "rings": [
-                    {"role": int(role),
-                     "lat": la[offs[i]:offs[i + 1]],
-                     "lon": lo[offs[i]:offs[i + 1]]}
-                    for i, role in enumerate(roles)
-                ],
-            })
-        index = build_cell_index(rows, z)
+        fid_arr = polys_pdf["feature_id"].to_numpy(np.int64)
+        ck = (int(key[0]), int(key[1]), len(fid_arr),
+              int(fid_arr.sum()), int(np.bitwise_xor.reduce(fid_arr)))
+        index = _GROUP_INDEX_CACHE.get(ck)
+        if index is None:
+            index = _build_group_index_packed(polys_pdf, fid_arr, z)
+            while len(_GROUP_INDEX_CACHE) >= _GROUP_INDEX_CACHE_MAX:
+                _GROUP_INDEX_CACHE.pop(next(iter(_GROUP_INDEX_CACHE)))
+            _GROUP_INDEX_CACHE[ck] = index
         lo = pts_pdf["lon"].to_numpy(np.int64)
         la = pts_pdf["lat"].to_numpy(np.int64)
         pt_idx, fids = _match_batch(index, la, lo, z)
@@ -351,6 +354,67 @@ def _cogroup_cell_fn(page_key: str, z: int):
         })
 
     return fn
+
+
+def _build_group_index_packed(polys_pdf: pd.DataFrame,
+                              fid_arr: np.ndarray, z: int) -> dict:
+    """Fine-zoom cell index from the group's flat vertex arrays: one
+    global concat, edge arrays via two boolean masks (drop each ring's
+    last / first vertex), per-feature bboxes via reduceat, per-cell
+    packs via slice-concat — no per-ring Python anywhere."""
+    nf = len(fid_arr)
+    lat_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lat"]]
+    lon_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lon"]]
+    lens_l = [np.asarray(v, np.int64) for v in polys_pdf["lens"]]
+    roles_l = [np.asarray(v, np.int64) for v in polys_pdf["roles"]]
+    V_lat = np.concatenate(lat_l)
+    V_lon = np.concatenate(lon_l)
+    n_verts = np.fromiter((len(a) for a in lat_l), np.int64, nf)
+    voff = np.concatenate(([0], np.cumsum(n_verts)))
+    ring_vlens = np.concatenate(lens_l)           # vertices per ring
+    rends = np.cumsum(ring_vlens)                  # global vertex offsets
+    rstarts_v = rends - ring_vlens
+    # edge arrays: ring-aligned "all but last" / "all but first" vertices
+    mask_i = np.ones(len(V_lat), dtype=bool); mask_i[rends - 1] = False
+    mask_j = np.ones(len(V_lat), dtype=bool); mask_j[rstarts_v] = False
+    EXI = V_lon[mask_i]; EYI = V_lat[mask_i]
+    EXJ = V_lon[mask_j]; EYJ = V_lat[mask_j]
+    n_rings = np.fromiter((len(l) for l in lens_l), np.int64, nf)
+    foff_e = np.concatenate(([0], np.cumsum(n_verts - n_rings)))
+    ring_elens_l = [l - 1 for l in lens_l]         # edges per ring
+    # per-feature bbox (reduceat over the vertex arrays)
+    st = voff[:-1]
+    lo_min = np.minimum.reduceat(V_lon, st)
+    lo_max = np.maximum.reduceat(V_lon, st)
+    la_min = np.minimum.reduceat(V_lat, st)
+    la_max = np.maximum.reduceat(V_lat, st)
+    cx0 = (lo_min + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+    cx1 = (lo_max + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+    cy0 = K.tile_y_float(la_max, z)
+    cy1 = K.tile_y_float(la_min, z)
+    per_cell: dict[tuple[int, int], list[int]] = {}
+    for i in range(nf):
+        for cx in range(int(cx0[i]), int(cx1[i]) + 1):
+            for cy in range(int(cy0[i]), int(cy1[i]) + 1):
+                per_cell.setdefault((cx, cy), []).append(i)
+    index = {}
+    for cell, fi in per_cell.items():
+        sl = [slice(foff_e[f], foff_e[f + 1]) for f in fi]
+        rl = [ring_elens_l[f] for f in fi]
+        ring_lens = np.concatenate(rl)
+        ring_starts = np.concatenate(([0], np.cumsum(ring_lens)[:-1]))
+        index[cell] = (
+            np.concatenate([EXI[s] for s in sl]),
+            np.concatenate([EYI[s] for s in sl]),
+            np.concatenate([EXJ[s] for s in sl]),
+            np.concatenate([EYJ[s] for s in sl]),
+            ring_starts.astype(np.int64),
+            np.repeat(np.arange(len(fi), dtype=np.int64),
+                      [len(r) for r in rl]),
+            np.concatenate([roles_l[f] for f in fi]),
+            fid_arr[np.asarray(fi, np.int64)],
+        )
+    return index
 
 
 def spatial_join(
@@ -403,12 +467,17 @@ def spatial_join(
 
     # shuffle at a coarser zoom than the PIP cells: fewer, larger
     # cogroup groups (per-group Arrow overhead amortizes), and fewer
-    # polygon replicas; each group rebuilds the fine-zoom index locally
-    zc = max(z - 4, 2) if cogroup_zoom is None else cogroup_zoom
+    # polygon replicas; each group builds the fine-zoom index locally
+    # from the flat vertex arrays (vectorized, cached across salt
+    # replicas on the same worker).  z-3 measured best at 2M×20k
+    # (z-4 groups get big enough that the group index rebuild and the
+    # polygon replica decode dominate; finer than z-2 fragments groups)
+    zc = max(z - 3, 2) if cogroup_zoom is None else cogroup_zoom
     pts = with_cell(pages.select(page_key, "lat", "lon"), zc)
-    # flatten rings to primitive-list columns: nested array<struct<array>>
-    # payloads segfault pyspark's cogroup Arrow->pandas conversion, and
-    # flat int64 lists are the kernel's native layout anyway
+    # flat primitive vertex columns (minimum shuffle bytes — edge arrays
+    # are derived group-side with vectorized masks, never per-ring
+    # Python).  Primitive int64 lists only: nested array<struct<array>>
+    # payloads segfault pyspark's cogroup Arrow->pandas conversion.
     cells = polygon_cells(polys.select("feature_id", "rings"), zc).select(
         "cx", "cy", "feature_id",
         F.expr("transform(rings, r -> r.role)").alias("roles"),

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--polys", type=int, default=20_000)
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
