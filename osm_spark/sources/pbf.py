@@ -97,6 +97,34 @@ def packed_sint64(buf) -> np.ndarray:
     return (u >> 1) ^ -(u & 1)
 
 
+def decode_packed_many(bufs: list, signed: bool, delta: bool = False):
+    """Decode MANY per-entity packed-varint buffers (e.g. every way's
+    refs field in a blob) with ONE vectorized pass: concatenate, count
+    values per buffer from the continuation-bit terminators, decode
+    once, then per-buffer positions / segmented delta-cumsum via
+    repeat/cumsum — no per-entity Python or numpy-call overhead.
+
+    Returns (values, counts per buffer, within-buffer positions)."""
+    nb = len(bufs)
+    big = b"".join(bufs)
+    if not big:
+        return (np.empty(0, np.int64), np.zeros(nb, np.int64),
+                np.empty(0, np.int64))
+    blens = np.fromiter((len(b) for b in bufs), np.int64, nb)
+    boff = np.concatenate(([0], np.cumsum(blens)))
+    a = np.frombuffer(big, np.uint8)
+    cum_terms = np.concatenate(([0], np.cumsum((a & 0x80) == 0)))
+    counts = cum_terms[boff[1:]] - cum_terms[boff[:-1]]
+    vals = packed_sint64(big) if signed else packed_uint64(big)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos = np.arange(len(vals)) - np.repeat(starts, counts)
+    if delta:         # per-buffer delta decode (cumsum restarts per buffer)
+        c = np.cumsum(vals)
+        base = np.where(starts > 0, c[starts - 1], 0)
+        vals = c - np.repeat(base, counts)
+    return vals, counts, pos
+
+
 # ---------------------------------------------------------------------------
 # blob framing
 
@@ -161,21 +189,58 @@ def _trunc_div100(a: np.ndarray) -> np.ndarray:
 
 
 class _Rows:
+    """Chunked typed column builder: every ``add`` keeps numpy arrays /
+    scalars; ``frame`` materializes each column with ONE concatenate
+    into preallocated typed storage (nullable-int masks for the sparse
+    columns).  Building the frame from Python lists was the decode hot
+    spot — pandas' object-list sniffing cost more than the varint
+    decode itself."""
+
+    _STR = ("key", "val", "role")
+
     def __init__(self):
-        self.cols = {k: [] for k in _EMPTY}
+        self.chunks: list[tuple[int, dict]] = []
 
     def add(self, n: int, **kw):
-        defaults = {"lat": None, "lon": None, "seq": None, "ref": None,
-                    "key": None, "val": None, "role": None, "mtype": None}
-        defaults.update(kw)
-        for c, v in defaults.items():
-            if isinstance(v, (np.ndarray, list)):
-                self.cols[c].extend(v if isinstance(v, list) else v.tolist())
-            else:
-                self.cols[c].extend([v] * n)
+        if n:
+            self.chunks.append((int(n), kw))
 
     def frame(self) -> pd.DataFrame:
-        return pd.DataFrame(self.cols)
+        if not self.chunks:
+            return pd.DataFrame(_EMPTY)
+        total = sum(n for n, _ in self.chunks)
+        cols: dict = {}
+        for c in _EMPTY:
+            if c in self._STR:
+                parts = []
+                for n, kw in self.chunks:
+                    v = kw.get(c)
+                    if v is None:
+                        parts.append(np.full(n, None, dtype=object))
+                    else:
+                        parts.append(np.asarray(v, dtype=object))
+                cols[c] = pd.Series(np.concatenate(parts), dtype=object)
+            else:
+                vals = np.zeros(total, np.int64)
+                mask = np.zeros(total, bool)
+                pos = 0
+                for n, kw in self.chunks:
+                    v = kw.get(c)
+                    if v is None:
+                        mask[pos:pos + n] = True
+                    elif np.isscalar(v):
+                        vals[pos:pos + n] = v
+                    else:
+                        vals[pos:pos + n] = np.asarray(v, np.int64)
+                    pos += n
+                if c == "kind":                # always present, non-null;
+                    cols[c] = pd.Series(vals.astype(np.int32))
+                elif c == "id":                # distinct dtypes keep the two
+                    cols[c] = pd.Series(vals)  # columns in separate blocks
+                                               # (no consolidation copy)
+                else:
+                    cols[c] = pd.arrays.IntegerArray(vals, mask)
+        return pd.DataFrame(cols)
 
 
 def decode_block(data: bytes) -> pd.DataFrame:
@@ -215,33 +280,47 @@ def decode_block(data: bytes) -> pd.DataFrame:
                         id=ids[tag_node],
                         key=[strings[kv[i]] for i in pairs[:, 0]],
                         val=[strings[kv[i]] for i in pairs[:, 1]])
-        for way_buf in grp.get(3, []):              # Way
-            w = fields(way_buf)
-            wid = w[1][0]
-            out.add(1, kind=KIND_WAY, id=wid)
-            refs = np.cumsum(packed_sint64(w[8][0])) if 8 in w else []
-            out.add(len(refs), kind=KIND_WAY_REF, id=wid, ref=refs,
-                    seq=np.arange(len(refs)))
-            ks = packed_uint64(w[2][0]) if 2 in w else []
-            vs = packed_uint64(w[3][0]) if 3 in w else []
-            out.add(len(ks), kind=KIND_WAY_TAG, id=wid,
-                    key=[strings[k] for k in ks],
-                    val=[strings[v] for v in vs])
-        for rel_buf in grp.get(4, []):              # Relation
-            r = fields(rel_buf)
-            rid = r[1][0]
-            out.add(1, kind=KIND_REL, id=rid)
-            mids = np.cumsum(packed_sint64(r[9][0])) if 9 in r else []
-            types = packed_uint64(r[10][0]) if 10 in r else []
-            roles = packed_uint64(r[8][0]) if 8 in r else []
-            out.add(len(mids), kind=KIND_REL_MEMBER, id=rid, ref=mids,
-                    seq=np.arange(len(mids)), mtype=types,
-                    role=[strings[s] for s in roles])
-            ks = packed_uint64(r[2][0]) if 2 in r else []
-            vs = packed_uint64(r[3][0]) if 3 in r else []
-            out.add(len(ks), kind=KIND_REL_TAG, id=rid,
-                    key=[strings[k] for k in ks],
-                    val=[strings[v] for v in vs])
+        way_bufs = grp.get(3, [])                   # Ways, batch-decoded
+        if way_bufs:
+            sarr = np.asarray(strings, dtype=object)
+            wfs = [fields(b) for b in way_bufs]
+
+            def joined(fs, tag):
+                return [b"".join(bytes(x) for x in f.get(tag, ()))
+                        for f in fs]
+
+            wids = np.fromiter((f[1][0] for f in wfs), np.int64, len(wfs))
+            out.add(len(wids), kind=KIND_WAY, id=wids)
+            refs, rcnt, seq = decode_packed_many(
+                joined(wfs, 8), signed=True, delta=True)
+            out.add(len(refs), kind=KIND_WAY_REF,
+                    id=np.repeat(wids, rcnt), ref=refs, seq=seq)
+            ks, kcnt, _ = decode_packed_many(joined(wfs, 2), signed=False)
+            vs, _, _ = decode_packed_many(joined(wfs, 3), signed=False)
+            out.add(len(ks), kind=KIND_WAY_TAG, id=np.repeat(wids, kcnt),
+                    key=list(sarr[ks]), val=list(sarr[vs]))
+        rel_bufs = grp.get(4, [])                   # Relations, batch-decoded
+        if rel_bufs:
+            sarr = np.asarray(strings, dtype=object)
+            rfs = [fields(b) for b in rel_bufs]
+
+            def joined(fs, tag):
+                return [b"".join(bytes(x) for x in f.get(tag, ()))
+                        for f in fs]
+
+            rids = np.fromiter((f[1][0] for f in rfs), np.int64, len(rfs))
+            out.add(len(rids), kind=KIND_REL, id=rids)
+            mids, mcnt, seq = decode_packed_many(
+                joined(rfs, 9), signed=True, delta=True)
+            types, _, _ = decode_packed_many(joined(rfs, 10), signed=False)
+            roles, _, _ = decode_packed_many(joined(rfs, 8), signed=False)
+            out.add(len(mids), kind=KIND_REL_MEMBER,
+                    id=np.repeat(rids, mcnt), ref=mids, seq=seq,
+                    mtype=types, role=list(sarr[roles]))
+            ks, kcnt, _ = decode_packed_many(joined(rfs, 2), signed=False)
+            vs, _, _ = decode_packed_many(joined(rfs, 3), signed=False)
+            out.add(len(ks), kind=KIND_REL_TAG, id=np.repeat(rids, kcnt),
+                    key=list(sarr[ks]), val=list(sarr[vs]))
     return out.frame()
 
 
