@@ -99,14 +99,81 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4,
         fn, "doc_id long, frame_idx int, frame binary")
 
 
+def decode_bmp_gray(b: bytes) -> np.ndarray:
+    """Numpy-only decode of an uncompressed BI_RGB 24/32-bit BMP (the
+    public Windows bitmap format) to a grayscale uint8 (h, w) array —
+    integer Rec.601 luma ((299 R + 587 G + 114 B) // 1000), rows
+    un-flipped from the bottom-up storage order."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: compression={comp} bpp={bpp}")
+    flip, h = h > 0, abs(h)
+    nb = bpp // 8
+    row_bytes = (w * nb + 3) & ~3
+    a = np.frombuffer(b, np.uint8, count=row_bytes * h, offset=off)
+    px = a.reshape(h, row_bytes)[:, :w * nb].reshape(h, w, nb)
+    bgr = px[:, :, :3].astype(np.uint32)
+    gray = ((299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0])
+            // 1000).astype(np.uint8)
+    return gray[::-1] if flip else gray
+
+
+def decode_ppm_gray(b: bytes) -> np.ndarray:
+    """Numpy-only decode of a binary netpbm image (P6 RGB / P5 gray,
+    maxval <= 255) to grayscale uint8 (h, w) — same integer luma as the
+    BMP path.  Header tokens may be separated by whitespace/comments."""
+    if b[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":                 # comment to end of line
+            while i < len(b) and b[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1                                      # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    if b[:2] == b"P5":
+        return np.frombuffer(b, np.uint8, count=w * h, offset=i).reshape(h, w)
+    px = np.frombuffer(b, np.uint8, count=3 * w * h, offset=i) \
+        .reshape(h, w, 3).astype(np.uint32)
+    return ((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2])
+            // 1000).astype(np.uint8)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample: source index
+    (i * src) // dst per axis."""
+    h, w = img.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return img[yi][:, xi]
+
+
 def decode_and_resize(media_df: DataFrame, width: int, height: int,
                       fake: bool = False) -> DataFrame:
-    """Image decode + resize.  The real decode requires PIL (not in
-    this container) and raises NotImplementedError without it; pass
-    ``fake=True`` for a clearly-marked deterministic fake decoder
-    (sha256-expanded grayscale "pixels" of the right size) so the Spark
-    plumbing — mapInPandas over binary, batch shape, output schema —
-    runs and is tested end-to-end."""
+    """Image decode + resize to width*height grayscale bytes.
+
+    Real decode path: numpy-only BMP (BI_RGB 24/32bpp) and binary
+    netpbm (P6/P5) decoders + nearest-neighbor resize — no external
+    libs.  Other formats fall back to PIL when available and raise
+    ``NotImplementedError`` otherwise.  ``fake=True`` keeps the
+    clearly-marked deterministic fake (sha256-expanded bytes) for
+    plumbing tests over arbitrary payloads."""
     try:
         from PIL import Image  # noqa: F401
         have_pil = True
@@ -119,20 +186,27 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
         for pdf in batches:
             out = []
             for blob in pdf["media"]:
+                b = bytes(blob)
                 if fake:
                     # DETERMINISTIC FAKE (not a real decode): expand the
                     # payload hash to width*height grayscale bytes
-                    seed = hashlib.sha256(bytes(blob)).digest()
+                    seed = hashlib.sha256(b).digest()
                     n = width * height
                     out.append((seed * (n // 32 + 1))[:n])
+                elif b[:2] == b"BM":
+                    out.append(resize_nearest(
+                        decode_bmp_gray(b), width, height).tobytes())
+                elif b[:2] in (b"P6", b"P5"):
+                    out.append(resize_nearest(
+                        decode_ppm_gray(b), width, height).tobytes())
                 elif not have_pil:
                     raise NotImplementedError(
-                        "image decode requires PIL (not available in this "
-                        "environment); use fake=True to exercise the "
-                        "plumbing, or byte_histogram_features for real "
-                        "byte-level features")
+                        "only BMP/netpbm decode is built in; this payload "
+                        "needs PIL (not available in this environment); "
+                        "use fake=True to exercise the plumbing, or "
+                        "byte_histogram_features for byte-level features")
                 else:
-                    img = Image.open(io.BytesIO(bytes(blob))).convert(
+                    img = Image.open(io.BytesIO(b)).convert(
                         "L").resize((width, height))
                     out.append(img.tobytes())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": out})

@@ -108,11 +108,56 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_decode_stub_raises_cleanly(spark):
+    """Non-BMP/netpbm payloads without PIL still raise cleanly."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
     media = MM.attach_fake_media(docs)
     with pytest.raises(Exception) as ei:
         MM.decode_and_resize(media, 8, 8).collect()
     assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def _tiny_bmp(px_rows):
+    """Hand-built uncompressed 24bpp BMP (bottom-up rows, padded)."""
+    h = len(px_rows)
+    w = len(px_rows[0])
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(px_rows):           # bottom-up storage
+        r = b"".join(bytes([b_, g, r_]) for (r_, g, b_) in row)
+        body += r + b"\x00" * (row_bytes - len(r))
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + off.to_bytes(4, "little"))
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+            + b"\x00" * 20)
+    return header + info + body
+
+
+def test_numpy_bmp_ppm_decode(spark):
+    """Real (numpy-only) decode path: hand-built BMP and P6 payloads
+    come back as the exact integer-luma grayscale pixels."""
+    import numpy as np
+
+    px = [[(255, 0, 0), (0, 255, 0)],
+          [(0, 0, 255), (255, 255, 255)]]     # 2x2 RGB
+    lum = [[(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row]
+           for row in px]
+    bmp = _tiny_bmp(px)
+    ppm = (b"P6\n# c\n2 2\n255\n"
+           + b"".join(bytes(c) for row in px for c in row))
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm))],
+        "doc_id long, media binary")
+    got = {r.doc_id: np.frombuffer(bytes(r.pixels), np.uint8).reshape(2, 2)
+           for r in MM.decode_and_resize(media, 2, 2).collect()}
+    want = np.array(lum, np.uint8)
+    assert (got[1] == want).all() and (got[2] == want).all()
+    # upscale 2x2 -> 4x4 nearest-neighbor: each pixel becomes a 2x2 block
+    up = {r.doc_id: np.frombuffer(bytes(r.pixels), np.uint8).reshape(4, 4)
+          for r in MM.decode_and_resize(media, 4, 4).collect()}
+    assert (up[1] == np.kron(want, np.ones((2, 2), np.uint8))).all()
 
 
 def test_ivf_topk_recall_vs_brute(spark):
