@@ -417,6 +417,155 @@ def _build_group_index_packed(polys_pdf: pd.DataFrame,
     return index
 
 
+# ---------------------------------------------------------------------------
+# partitioned disk-index path: the Spark analog of the reference's
+# ON-DISK R-tree (database/rtree.ml memory-maps the tree and range-reads
+# leaf pages per query).  The polygon layer is written cell-sorted in
+# parquet; pages range-partition on the cell key (a pure JVM columnar
+# exchange — no pandas cogroup machinery); every worker then range-reads
+# ONLY its partition's cell span from the layer file with row-group
+# statistics pruning.  No polygon replication, no grouped-map sort of
+# the pages side, layer size bounded by disk not executor memory.
+
+
+CKEY_SCALE = 1 << 32
+COARSE_SHIFT = 3          # coarse partition cells at z - COARSE_SHIFT
+
+
+def _gkey_col(z: int):
+    """Coarse-cell partition key from the fine (cx, cy) columns."""
+    return (
+        F.shiftright(F.col("cx"), COARSE_SHIFT).cast("long") * CKEY_SCALE
+        + F.shiftright(F.col("cy"), COARSE_SHIFT)
+    )
+
+
+def write_partitioned_layer(polys: DataFrame, path: str,
+                            z: int = DEFAULT_CELL_ZOOM,
+                            n_files: int = 32) -> str:
+    """One-time layer build (the R-tree bulk load, rtree.ml:90-134):
+    explode polygons to covering COARSE cells, sort by the coarse key,
+    write parquet so per-partition isin reads prune by row-group
+    statistics.  Amortized across every join against this layer
+    version."""
+    zc = max(z - COARSE_SHIFT, 2)
+    cells = polygon_cells(polys.select("feature_id", "rings"), zc).select(
+        (F.col("cx").cast("long") * CKEY_SCALE + F.col("cy")).alias("gkey"),
+        "feature_id",
+        F.expr("transform(rings, r -> r.role)").alias("roles"),
+        F.expr("transform(rings, r -> size(r.lat))").alias("lens"),
+        F.flatten(F.expr("transform(rings, r -> r.lat)")).alias("flat_lat"),
+        F.flatten(F.expr("transform(rings, r -> r.lon)")).alias("flat_lon"),
+    )
+    (cells.repartitionByRange(n_files, "gkey")
+     .sortWithinPartitions("gkey")
+     .write.mode("overwrite")
+     .option("parquet.block.size", 1 << 20)
+     .parquet(path))
+    return path
+
+
+def _partitioned_join_mapper(layer_path: str, z: int, how: str,
+                             page_key: str):
+    def fn(batches):
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(layer_path, format="parquet")
+        # one read + one index build per PARTITION (its batches
+        # materialize first — bounded by partition sizing): the
+        # partition holds whole coarse cells, so the layer read is an
+        # isin over its coarse keys, pruned by row-group stats on the
+        # gkey-sorted file
+        parts = [b for b in batches if len(b)]
+        for pdf in ([pd.concat(parts)] if parts else []):
+            keys = pdf[page_key].to_numpy()
+            la = pdf["lat"].to_numpy(np.int64)
+            lo = pdf["lon"].to_numpy(np.int64)
+            gk = pdf["gkey"].to_numpy(np.int64)
+            out_k: list[np.ndarray] = []
+            out_f: list[np.ndarray] = []
+            matched = np.zeros(len(keys), dtype=bool)
+            if len(gk):
+                f = pads.field("gkey")
+                tbl = dataset.to_table(
+                    filter=f.isin([int(v) for v in np.unique(gk)]))
+                if tbl.num_rows:
+                    # a polygon spanning k cells appears k times in the
+                    # range read; dedupe before the index build (the
+                    # build re-registers every covering cell itself)
+                    lpdf = tbl.to_pandas().drop_duplicates("feature_id")
+                    fid_arr = lpdf["feature_id"].to_numpy(np.int64)
+                    index = _build_group_index_packed(lpdf, fid_arr, z)
+                    hits, fids = _match_batch(index, la, lo, z)
+                    if len(hits):
+                        matched[hits] = True
+                        out_k.append(keys[hits])
+                        out_f.append(fids)
+            n_miss = 0
+            if how == "left":
+                miss = keys[~matched]
+                n_miss = len(miss)
+                out_k.append(miss)
+                out_f.append(np.zeros(n_miss, np.int64))
+            kcat = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+            fcat = np.concatenate(out_f) if out_f else np.empty(0, np.int64)
+            mask = np.zeros(len(kcat), dtype=bool)
+            if n_miss:
+                mask[len(kcat) - n_miss:] = True
+            yield pd.DataFrame({
+                "k": kcat,
+                "feature_id": pd.arrays.IntegerArray(fcat, mask),
+            })
+
+    return fn
+
+
+def spatial_join_partitioned(
+    pages: DataFrame,
+    layer_path: str,
+    z: int = DEFAULT_CELL_ZOOM,
+    how: str = "inner",
+    page_key: str = "page_id",
+    n_partitions: int | None = None,
+    salt: int = 1,
+    pages_clustered: bool = False,
+) -> DataFrame:
+    """PIP-join against a ``write_partitioned_layer`` output: pages
+    hash-partition on the coarse cell key (one JVM columnar exchange,
+    no range-sampling job, no pandas cogroup), each worker reads ONLY
+    its partition's coarse cells from the layer parquet (row-group
+    pruning on the sorted gkey) and runs the shared vectorized index +
+    PIP kernels.  The layer never shuffles and is bounded by disk, not
+    executor memory.  ``salt`` spreads a hot coarse cell's pages across
+    partitions — the price is duplicate layer READS, never duplicate
+    shuffle bytes.  ``pages_clustered=True`` declares the pages table
+    spatially clustered in storage (``cluster.cluster_by_hilbert``
+    layout) and skips the exchange entirely — the zero-shuffle
+    co-located spatial join.  Returns (page_key, feature_id) like
+    ``spatial_join``."""
+    spark = pages.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pts = with_cell(pages.select(page_key, "lat", "lon"), z).select(
+        page_key, "lat", "lon", _gkey_col(z).alias("gkey"))
+    if pages_clustered:
+        # the pages table is already spatially clustered in storage
+        # (cluster_by_hilbert layout): input splits are cell-local, so
+        # the join needs NO exchange at all — scan, per-split layer
+        # range-read, PIP.  The zero-shuffle co-located spatial join.
+        pass
+    elif salt > 1:
+        pts = pts.withColumn(
+            "s_", F.pmod(F.xxhash64(page_key), F.lit(salt)))
+        pts = pts.repartition(n_partitions, "gkey", "s_").drop("s_")
+    else:
+        pts = pts.repartition(n_partitions, "gkey")
+    return pts.mapInPandas(
+        _partitioned_join_mapper(layer_path, z, how, page_key),
+        "k long, feature_id long",
+    ).withColumnRenamed("k", page_key)
+
+
 def spatial_join(
     pages: DataFrame,
     polys: DataFrame,

@@ -111,6 +111,39 @@ def test_broadcast_and_cogroup_paths_agree(spark):
     assert len(a) > 50
 
 
+def test_partitioned_disk_index_path_agrees(spark, tmp_path):
+    """The partitioned disk-index path (layer parquet + per-partition
+    range reads) matches the broadcast path exactly — with the hash
+    exchange, salted, and in zero-shuffle pages_clustered mode."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.cluster import cluster_by_hilbert
+    from osm_spark.operators.geocode import geocode_ids
+    from osm_spark.operators.spatial_join import (spatial_join,
+                                                 spatial_join_partitioned,
+                                                 write_partitioned_layer)
+
+    docs = geocode_ids(
+        spark.range(1500).withColumnRenamed("id", "doc_id"), "doc_id")
+    polys = FX.polygons_df(spark, 200)
+    layer = write_partitioned_layer(polys, str(tmp_path / "layer"))
+    a = {(r.doc_id, r.feature_id) for r in
+         spatial_join(docs, polys, page_key="doc_id", how="left").collect()}
+    for kw in ({}, {"salt": 3}):
+        b = {(r.doc_id, r.feature_id) for r in
+             spatial_join_partitioned(docs, layer, page_key="doc_id",
+                                      how="left", **kw).collect()}
+        assert a == b, kw
+    # zero-shuffle variant over a Hilbert-clustered pages copy
+    clp = str(tmp_path / "docs_hilbert")
+    cluster_by_hilbert(docs, 8).drop("hkey").write.parquet(clp)
+    docs_c = spark.read.parquet(clp)
+    c = {(r.doc_id, r.feature_id) for r in
+         spatial_join_partitioned(docs_c, layer, page_key="doc_id",
+                                  how="left", pages_clustered=True).collect()}
+    assert a == c
+    assert len(a) > 50
+
+
 def test_many_ring_multipolygon_both_paths(spark):
     """A feature with >16 rings (1 outer + 20 holes) next to a second
     feature: exercises ring identity in the cogroup path (round-1 bug:

@@ -1,10 +1,15 @@
-"""Compare the two spatial-join physical paths (broadcast index vs
-salted cell-cogroup) on the same inputs — evidence for the auto-switch
-(PLANS.md): the cogroup path must stay within ~2x of broadcast at a
-layer size where both are viable.
+"""Compare the spatial-join physical paths on the same inputs —
+evidence for the strategy choice (PLANS.md):
+
+- broadcast index (layer fits executor memory; zero shuffle),
+- salted cell-cogroup (no materialized layer available),
+- partitioned disk-index (write_partitioned_layer parquet + hash
+  exchange + per-partition range reads),
+- partitioned zero-shuffle (pages already Hilbert-clustered in
+  storage: no exchange at all).
 
 Usage: python tools/pathbench.py [--pages 2000000] [--polys 20000]
-       [--cores 8] [--salt 8] [--reps 3]
+       [--cores 8] [--salt 4] [--reps 3]
 """
 
 from __future__ import annotations
@@ -28,9 +33,12 @@ def main():
     args = ap.parse_args()
 
     from osm_spark import fixtures as FX
+    from osm_spark.operators.cluster import cluster_by_hilbert
     from osm_spark.operators.geocode import geocode_pages
     from osm_spark.operators.spatial_join import (broadcast_polygon_index,
-                                                 spatial_join)
+                                                 spatial_join,
+                                                 spatial_join_partitioned,
+                                                 write_partitioned_layer)
     from osm_spark.session import get_spark
 
     spark = get_spark("pathbench", cores=args.cores,
@@ -49,8 +57,19 @@ def main():
         "page_id", "lat", "lon")
     polys = spark.read.parquet(str(polys_path))
 
+    # one-time layer artifacts (untimed, like the broadcast index build):
+    # the partitioned-path parquet layer and a Hilbert-clustered pages copy
+    layer = str(base / f"layer_{args.polys}_z12")
+    write_partitioned_layer(polys, layer)
+    clp = base / f"bench_pages_{args.pages}_hilbert"
+    if not (clp / "_SUCCESS").exists():
+        cluster_by_hilbert(geo, 32).drop("hkey").write.mode(
+            "overwrite").parquet(str(clp))
+    geo_clustered = spark.read.parquet(str(clp))
+
     idx = broadcast_polygon_index(polys)
     spatial_join(geo.limit(2000), polys, index=idx).count()  # warm-up
+    spatial_join_partitioned(geo.limit(2000), layer).count()
 
     def t_broadcast():
         return spatial_join(geo, polys, index=idx).count()
@@ -59,18 +78,34 @@ def main():
         return spatial_join(geo, polys, broadcast_polys=False,
                             salt=args.salt).count()
 
-    out = {}
-    for name, fn in [("broadcast", t_broadcast), ("cogroup", t_cogroup)]:
-        best, rows = float("inf"), None
-        for _ in range(args.reps):
+    def t_partitioned():
+        return spatial_join_partitioned(geo, layer, salt=2).count()
+
+    def t_partitioned_clustered():
+        return spatial_join_partitioned(
+            geo_clustered, layer, pages_clustered=True).count()
+
+    paths = [("broadcast", t_broadcast), ("cogroup", t_cogroup),
+             ("partitioned", t_partitioned),
+             ("partitioned_clustered", t_partitioned_clustered)]
+    best: dict = {n: [float("inf"), None] for n, _ in paths}
+    for _ in range(args.reps):         # interleaved reps (noise protocol)
+        for name, fn in paths:
             t0 = time.time()
             rows = fn()
-            best = min(best, time.time() - t0)
-        out[name] = {"sec": round(best, 3), "rows": rows,
-                     "pages_per_sec": round(args.pages / best)}
+            best[name] = [min(best[name][0], time.time() - t0), rows]
+    out = {n: {"sec": round(b, 3), "rows": r,
+               "pages_per_sec": round(args.pages / b)}
+           for n, (b, r) in best.items()}
+    b = out["broadcast"]["sec"]
     out["ratio_cogroup_over_broadcast"] = round(
-        out["cogroup"]["sec"] / out["broadcast"]["sec"], 2)
-    out["match_sets_equal"] = out["cogroup"]["rows"] == out["broadcast"]["rows"]
+        out["cogroup"]["sec"] / b, 2)
+    out["ratio_partitioned_over_broadcast"] = round(
+        out["partitioned"]["sec"] / b, 2)
+    out["ratio_partitioned_clustered_over_broadcast"] = round(
+        out["partitioned_clustered"]["sec"] / b, 2)
+    out["match_sets_equal"] = (
+        len({o["rows"] for o in out.values() if isinstance(o, dict)}) == 1)
     out.update(pages=args.pages, polys=args.polys, cores=args.cores,
                salt=args.salt)
     print(json.dumps(out))
