@@ -91,10 +91,50 @@ def main():
         "vectorized matcher as the broadcast path.  Hot city cells "
         "split across `salt` reducers, AQE skew-join as backstop.  "
         "Measured (tools/pathbench.py, 2M pages x 20k polys, local[8]): "
-        "within 1.7-2.3x of the broadcast path at salt 2-8 with an "
-        "identical match set.",
+        "~1.9x of the broadcast path with an identical match set; its "
+        "floor is the grouped-map machinery itself (BENCH/ANALYSIS.md), "
+        "which is why the partitioned disk-index path below is the "
+        "preferred non-broadcast strategy.",
         must_contain=("Exchange",),
     )
+
+    # 2c. partitioned disk-index path: hash exchange variant + the
+    # zero-shuffle clustered variant
+    from osm_spark.operators.spatial_join import (spatial_join_partitioned,
+                                                 write_partitioned_layer)
+
+    layer_path = REPO / "data" / "plans_layer"
+    if not (layer_path / "_SUCCESS").exists():
+        write_partitioned_layer(FX.polygons_df(spark, 500), str(layer_path))
+    sjp = spatial_join_partitioned(geo, str(layer_path), page_key="doc_id",
+                                   salt=2)
+    section(
+        "Spatial join — partitioned disk-index path (huge layers)",
+        sjp,
+        "The on-disk R-tree analog (database/rtree.ml): the layer lives "
+        "cell-sorted in parquet (one-time `write_partitioned_layer` bulk "
+        "load); pages hash-partition on the coarse cell key — ONE JVM "
+        "columnar Exchange, no range-sampling job, no pandas cogroup — "
+        "and each task range-reads only its cells from the layer file "
+        "via row-group pruning.  The polygon side never shuffles and is "
+        "bounded by disk, not executor memory; salt spreads hot cells "
+        "at the cost of duplicate layer reads, never shuffle bytes.",
+        must_contain=("Exchange", "MapInPandas"),
+    )
+    sjp0 = spatial_join_partitioned(geo, str(layer_path), page_key="doc_id",
+                                    pages_clustered=True)
+    plan0 = fmt(sjp0)
+    checks.append(("Spatial join — partitioned, clustered pages",
+                   "no Exchange", "Exchange" not in plan0))
+    sections.append(
+        "## Spatial join — partitioned path, spatially-clustered pages\n\n"
+        "When the pages table is stored Hilbert-clustered "
+        "(`cluster.cluster_by_hilbert` — the natural Iceberg layout), "
+        "input splits are already cell-local and the join needs NO "
+        "exchange at all: scan → per-split layer range-read → PIP.  The "
+        "zero-shuffle spatial join; measured within ~1.2x of the "
+        "broadcast path (and ahead of it under co-tenant load).\n\n"
+        f"```\n{plan0.strip()}\n```\n")
 
     # 3b. bucketed embedding near-dup: LSH bucket equi-join, no all-pairs
     from osm_spark.operators.similarity import cosine_near_dup_bucketed
