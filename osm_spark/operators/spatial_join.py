@@ -577,6 +577,8 @@ def spatial_join(
     index=None,
     broadcast_max_verts: int = BROADCAST_MAX_VERTS,
     cogroup_zoom: int | None = None,
+    layer_path: str | None = None,
+    pages_clustered: bool = False,
 ) -> DataFrame:
     """PIP-join pages (with lat/lon columns) to a polygon layer.
 
@@ -590,10 +592,17 @@ def spatial_join(
       executor once and PIP-tags pages in a single mapInPandas pass —
       zero shuffles, zero joins.  Right whenever the packed layer fits
       comfortably in executor memory (``broadcast_max_verts``).
-    - **salted cell-cogroup**: pages shuffle once on (cell, salt);
-      polygon cells replicate ``salt`` ways; rings ship once per (cell,
-      salt) group, never per candidate pair.  ``salt`` spreads hot
-      (city) cells; AQE skew-join remains the runtime backstop.  Use
+    - **partitioned disk-index** (when ``layer_path`` — a
+      ``write_partitioned_layer`` output — is given): pages
+      hash-partition on the coarse cell key and each task range-reads
+      only its cells from the layer parquet; with
+      ``pages_clustered=True`` the exchange is skipped entirely.  The
+      preferred path for layers above the broadcast limit.
+    - **salted cell-cogroup**: the fallback when no materialized layer
+      exists — pages shuffle once on (cell, salt); polygon cells
+      replicate ``salt`` ways; rings ship once per (cell, salt) group,
+      never per candidate pair.  ``salt`` spreads hot (city) cells; AQE
+      skew-join remains the runtime backstop.  Use
       ``suggest_salt(pages)`` to derive the factor from the measured
       cell histogram.
     """
@@ -605,6 +614,11 @@ def spatial_join(
                    " 0L, (a, x) -> a + x)").alias("nv")
         ).agg(F.sum("nv").alias("v")).first()
         broadcast_polys = int(nv.v or 0) <= broadcast_max_verts
+
+    if not broadcast_polys and layer_path is not None:
+        return spatial_join_partitioned(
+            pages, layer_path, z=z, how=how, page_key=page_key,
+            salt=salt or 1, pages_clustered=pages_clustered)
 
     if broadcast_polys:
         bc = index if index is not None else broadcast_polygon_index(polys, z)
