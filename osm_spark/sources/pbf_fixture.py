@@ -82,6 +82,22 @@ def sample_osm():
                   (1, 9_102, "inner")],
                  {"type": "multipolygon"}))
 
+    # a second real multipolygon: TWO disjoint closed-way outer rings
+    # (multi-outer parenting) with tags on both member ways — drives the
+    # common-outer-way tag-merge rule and a non-default DSL category in
+    # the composed load->assemble->classify->tile chain
+    sq2 = [(2100, 48_9200000, 2_4200000), (2101, 48_9200000, 2_4280000),
+           (2102, 48_9280000, 2_4280000), (2103, 48_9280000, 2_4200000),
+           (2110, 48_9300000, 2_4300000), (2111, 48_9300000, 2_4380000),
+           (2112, 48_9380000, 2_4380000), (2113, 48_9380000, 2_4300000)]
+    nodes_a.extend((nid, la, lo, {}) for nid, la, lo in sq2)
+    ways.append((9_110, [2100, 2101, 2102, 2103, 2100],
+                 {"natural": "water"}))
+    ways.append((9_111, [2110, 2111, 2112, 2113, 2110],
+                 {"natural": "water"}))
+    rels.append((70_101, [(1, 9_110, "outer"), (1, 9_111, "outer")],
+                 {"type": "multipolygon", "ref": "3"}))
+
     return {"blocks": blocks, "ways": ways, "relations": rels}
 
 
