@@ -218,7 +218,10 @@ def q_g17_knn(spark, sf):
 def q_g10_curve_keys(spark, sf):
     """G10 + G11 + R13 in one probe: Hilbert key, Z-order key, and the
     Hilbert permute position (the scatter target of the storage-side
-    clustering reorder, cluster.py:62-69)."""
+    clustering reorder).  The global row_number window here is the
+    sf0.01 VERIFICATION twin of the permute — the production reorder is
+    the distributed ``cluster.cluster_by_hilbert``
+    (repartitionByRange + sortWithinPartitions, no global window)."""
     d = with_hilbert_key(_geo_docs(spark, sf))
     d = d.withColumn("u", F.expr(f"(lat - {FX.LAT0}) DIV 2048")).withColumn(
         "v", F.expr(f"(lon - {FX.LON0}) DIV 2048")
@@ -639,14 +642,21 @@ KSMOOTH_LINES = [
     (1, [0, 50, 100], [0, 80, 0]),
     (2, [0, 10], [0, 10]),             # <3 pts: passthrough
 ]
+KSIMPLE_RINGS = [
+    (0, [0, 100, 100, 0, 0], [0, 0, 100, 100, 0]),          # square
+    (1, [0, 10, 10, 0, 0], [0, 10, 0, 10, 0]),              # bowtie
+    (2, [0, 10, 5, 5, 0, 0], [0, 0, 0, 10, 10, 0]),         # fold-back spike
+    (3, [0, 100, 100, 0, 0], [0, 0, 100, 200, 0]),          # skewed simple
+    (4, [0, 100, 100, 50, 0, 0], [0, 0, 100, 40, 100, 0]),  # notch crossing
+]
 
 
 def q_g_kernel_values(spark, sf):
-    """G3 + G5 + G7 + G14 scalar kernels over deterministic VALUES
+    """G3 + G4 + G5 + G7 + G14 scalar kernels over deterministic VALUES
     fixtures, driven through the Arrow-batched column wrappers
     (geomops.py).  Normalized row shape (kind, case_id, pt_idx, a, b):
-    flags in ``a`` for the predicates; quantized curve coords (a, b)
-    for the smoother."""
+    flags in ``a`` for the predicates (incl. the simple-polygon check);
+    quantized curve coords (a, b) for the smoother."""
     z = F.lit(0).cast("long")
     seg = spark.createDataFrame(
         [(i, *c) for i, c in enumerate(KSEG_CASES)],
@@ -677,7 +687,14 @@ def q_g_kernel_values(spark, sf):
     sm_out = sm.select(
         F.lit("smooth").alias("kind"), F.col("line_id").alias("case_id"),
         "pt_idx", F.col("qx").alias("a"), F.col("qy").alias("b"))
-    return seg_out.unionByName(pt_out).unionByName(mid_out).unionByName(sm_out)
+    rings = spark.createDataFrame(
+        KSIMPLE_RINGS, "case_id long, xs array<long>, ys array<long>")
+    sp_out = rings.select(
+        F.lit("simple_poly").alias("kind"), "case_id", z.alias("pt_idx"),
+        GM.simple_polygon_col("xs", "ys").cast("long").alias("a"),
+        z.alias("b"))
+    return (seg_out.unionByName(pt_out).unionByName(mid_out)
+            .unionByName(sm_out).unionByName(sp_out))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -225,6 +225,37 @@ def midpoints_in_ring(x1, y1, x2, y2, px, py):
                           2 * np.asarray(py, np.int64))
 
 
+def is_simple_polygon(px, py) -> bool:
+    """G4: simple-polygon check (/root/reference/osm/geometry.ml:107-136,
+    debug-only there): no two non-consecutive segments intersect (the
+    first/last adjacency through the closing vertex is skipped), and no
+    two consecutive segments fold back over each other
+    (dot <= 0 with zero cross).  Pairwise test vectorized through
+    ``segments_intersect`` over the non-adjacent index pairs."""
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    l = len(px) - 1
+    ii, jj = [], []
+    for i in range(1, l):
+        for j in range(0, i - 1):
+            if j > 0 or i < l - 1:      # skip closure-adjacent pair
+                ii.append(i)
+                jj.append(j)
+    if ii:
+        ia = np.asarray(ii)
+        ja = np.asarray(jj)
+        if segments_intersect(px[ia], py[ia], px[ia + 1], py[ia + 1],
+                              px[ja], py[ja], px[ja + 1], py[ja + 1]).any():
+            return False
+    i = np.arange(1, l)
+    dx1 = px[i + 1] - px[i]
+    dy1 = py[i + 1] - py[i]
+    dx2 = px[i] - px[i - 1]
+    dy2 = py[i] - py[i - 1]
+    folds = (dx1 * dx2 + dy1 * dy2 <= 0) & (dx1 * dy2 == dx2 * dy1)
+    return not folds.any()
+
+
 def ring_mostly_in_ring(qx, qy, px, py, quorum: float = 0.7) -> bool:
     """Quorum containment: >= quorum of (qx,qy) vertices inside ring
     (px,py) — the overlap-arbitration rule of

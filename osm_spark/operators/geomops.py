@@ -150,3 +150,17 @@ def smooth_polylines(lines: DataFrame, n_sub: int = 4,
 
     return lines.select("line_id", "xs", "ys").mapInPandas(
         fn, "line_id long, pt_idx long, qx long, qy long")
+
+
+def simple_polygon_col(xs_col, ys_col):
+    """G4: per-row simple-polygon flag over closed ring array columns
+    (geometry.ml:107-136 semantics)."""
+
+    @F.pandas_udf("boolean")
+    def fn(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series([
+            K.is_simple_polygon(np.asarray(x, np.int64),
+                                np.asarray(y, np.int64))
+            for x, y in zip(xs, ys)])
+
+    return fn(xs_col, ys_col)

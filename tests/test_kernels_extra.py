@@ -80,3 +80,17 @@ def test_polygon_areas_packed_matches_scalar():
     got = K.polygon_areas_packed(px, py, starts, lens)
     want = [K.polygon_area(x, y) for x, y in rings]
     assert got.tolist() == want
+
+
+def test_is_simple_polygon():
+    """G4 (geometry.ml:107-136): square simple; bowtie crossing and
+    fold-back spike not; closure-adjacent first/last segments exempt."""
+    assert K.is_simple_polygon([0, 100, 100, 0, 0], [0, 0, 100, 100, 0])
+    assert not K.is_simple_polygon([0, 10, 10, 0, 0], [0, 10, 0, 10, 0])
+    assert not K.is_simple_polygon([0, 10, 5, 5, 0, 0], [0, 0, 0, 10, 10, 0])
+    # triangle: only closure-adjacent pairs exist -> simple
+    assert K.is_simple_polygon([0, 10, 0, 0], [0, 0, 10, 0])
+    # touching (not crossing) non-adjacent segments: improper
+    # intersection counts -> not simple
+    assert not K.is_simple_polygon(
+        [0, 100, 100, 50, 0, 0], [0, 0, 100, 0, 100, 0])

@@ -126,6 +126,25 @@ def scalar_on_boundary(x, y, rx, ry) -> bool:
         for (ax, ay), (bx, by) in zip(zip(rx, ry), zip(rx[1:], ry[1:])))
 
 
+def scalar_is_simple(px, py) -> bool:
+    """Independent scalar simple-polygon check (geometry.ml:107-136
+    spec: non-consecutive segments disjoint, consecutive segments do
+    not fold back)."""
+    l = len(px) - 1
+    for i in range(1, l):
+        for j in range(0, i - 1):
+            if (j > 0 or i < l - 1) and scalar_seg_intersect(
+                    px[i], py[i], px[i + 1], py[i + 1],
+                    px[j], py[j], px[j + 1], py[j + 1]):
+                return False
+    for i in range(1, l):
+        dx1, dy1 = px[i + 1] - px[i], py[i + 1] - py[i]
+        dx2, dy2 = px[i] - px[i - 1], py[i] - py[i - 1]
+        if dx1 * dx2 + dy1 * dy2 <= 0 and dx1 * dy2 == dx2 * dy1:
+            return False
+    return True
+
+
 def scalar_pip(x, y, rx, ry) -> bool:
     """Crossing-number PIP with the reference's exact tie conventions
     (geometry.ml:157-174), scalar re-statement."""
@@ -377,6 +396,9 @@ def main() -> int:
             want = scalar_pip(x1 + x2, y1 + y2,
                               [2 * v for v in rx], [2 * v for v in ry])
             assert bool(r.a) == want, ("mid", r.case_id)
+        for r in pdf[pdf.kind == "simple_poly"].itertuples():
+            _cid, xs, ys = entry.KSIMPLE_RINGS[int(r.case_id)]
+            assert bool(r.a) == scalar_is_simple(xs, ys), ("simple", r.case_id)
         q = 1_000_000
         for lid, xs, ys in entry.KSMOOTH_LINES:
             sub = pdf[(pdf.kind == "smooth") & (pdf.case_id == lid)] \
