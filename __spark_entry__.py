@@ -426,18 +426,50 @@ def q_s1_pbf_nodes(spark, sf):
     return pbf.read_pbf(spark, _pbf_fixture_path())["nodes"]
 
 
-def q_s1_pbf_way_refs(spark, sf):
+def q_s1_pbf_refs_members(spark, sf):
+    """Way-refs and relation-members round trip in one union-schema
+    probe (kind 0 = way ref, kind 1 = relation member)."""
     from osm_spark.sources import pbf
 
-    return pbf.read_pbf(spark, _pbf_fixture_path())["way_refs"]
+    t = pbf.read_pbf(spark, _pbf_fixture_path())
+    wr = t["way_refs"].select(
+        F.lit(0).alias("kind"), F.col("way").alias("id"), "seq",
+        F.col("node").alias("ref"),
+        F.lit(None).cast("int").alias("mtype"),
+        F.lit(None).cast("string").alias("role"))
+    rm = t["rel_members"].select(
+        F.lit(1).alias("kind"), F.col("relation").alias("id"), "seq",
+        F.col("member").alias("ref"), F.col("mtype").cast("int").alias("mtype"),
+        "role")
+    return wr.unionByName(rm)
 
 
-def q_s1_pbf_rel_members(spark, sf):
-    from osm_spark.sources import pbf
+def _warc_fixture_path() -> str:
+    from pathlib import Path
 
-    out = pbf.read_pbf(spark, _pbf_fixture_path())["rel_members"]
-    return out.select("relation", "seq", F.col("mtype").cast("int").alias("mtype"),
-                      "member", "role")
+    from osm_spark.sources import warc_fixture
+
+    p = Path(__file__).resolve().parent / "data" / "fixtures" / "sample.warc.gz"
+    if not p.exists():
+        p.parent.mkdir(parents=True, exist_ok=True)
+        warc_fixture.write_sample(str(p))
+    return str(p)
+
+
+def q_s2_warc_pages(spark, sf):
+    """WARC source (Common-Crawl gzip-member layout) -> pages with the
+    byte-identical extracted text (input_hint invariant): record index,
+    parallel range-read + gunzip decode, HTTP body split, JVM-side
+    html->text extraction."""
+    from osm_spark.sources import warc
+
+    pages = warc.read_warc_pages(spark, _warc_fixture_path())
+    return pages.select(
+        "url",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', warc_ts)").alias("warc_ts_us"),
+        TX.extract_text_col(F.col("html")).alias("text"),
+        F.octet_length("html").cast("long").alias("n_bytes"))
 
 
 # --- streaming ---------------------------------------------------------
@@ -732,8 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_tag_dsl": q_c_tag_dsl,
         "s1_pbf_nodes": q_s1_pbf_nodes,
         "s3_shp_coastline": q_s3_shp_coastline,
-        "s1_pbf_way_refs": q_s1_pbf_way_refs,
-        "s1_pbf_rel_members": q_s1_pbf_rel_members,
+        "s1_pbf_refs_members": q_s1_pbf_refs_members,
+        "s2_warc_pages": q_s2_warc_pages,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
         "t_dedup_exact": q_t_dedup_exact,
@@ -991,6 +1023,50 @@ def _pbf_oracle(table: str, cols: list[str], types: list[str]) -> str:
     return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
 
 
+def _pbf_refs_members_oracle() -> str:
+    """Merged way-refs + relation-members VALUES oracle from the
+    fixture generator's ground truth (union schema, kind 0/1)."""
+    from osm_spark.sources import pbf_fixture
+
+    t = pbf_fixture.expected_tables()
+    rows = [(0, w, s, n, None, None) for w, s, n in t["way_refs"]]
+    rows += [(1, r, s, m, mt, role)
+             for r, s, mt, m, role in t["rel_members"]]
+
+    def lit(v, t_):
+        if v is None:
+            return f"CAST(NULL AS {t_})"
+        return "'" + str(v).replace("'", "''") + "'" if t_ == "VARCHAR" \
+            else str(int(v))
+
+    types = ["INTEGER", "BIGINT", "INTEGER", "BIGINT", "INTEGER", "VARCHAR"]
+    body = ", ".join(
+        "(" + ", ".join(
+            f"CAST({lit(v, ty)} AS {ty})" if i == 0 and v is not None else lit(v, ty)
+            for v, ty in zip(r, types)) + ")"
+        for i, r in enumerate(rows))
+    return (f"SELECT * FROM (VALUES {body}) "
+            f"AS t(kind, id, seq, ref, mtype, role)")
+
+
+def _warc_oracle_sql() -> str:
+    """Ground truth from the WARC fixture generator — the Spark side
+    round-trips through the encoded .warc.gz, the parallel decoder, and
+    the JVM html->text extraction (byte-identity invariant)."""
+    from osm_spark.sources import warc_fixture
+
+    def s(x):
+        return "'" + x.replace("'", "''") + "'"
+
+    body = ", ".join(
+        (f"(CAST({s(u)} AS VARCHAR), CAST({us} AS BIGINT), "
+         f"CAST({s(tx)} AS VARCHAR), CAST({nb} AS BIGINT))") if i == 0
+        else f"({s(u)}, {us}, {s(tx)}, {nb})"
+        for i, (u, us, tx, nb) in enumerate(warc_fixture.expected_pages()))
+    return (f"SELECT * FROM (VALUES {body}) "
+            f"AS t(url, warc_ts_us, text, n_bytes)")
+
+
 def _media_cte(where: str = "") -> str:
     """CTEs rebuilding attach_fake_media's payload as a hex string:
     dig = sha256(text); size = 512 + dig[0]*7; payload = (dig repeated)
@@ -1124,11 +1200,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "s3_shp_coastline": _shp_oracle_sql(),
         "s1_pbf_nodes": _pbf_oracle(
             "nodes", ["node", "lat", "lon"], ["BIGINT", "BIGINT", "BIGINT"]),
-        "s1_pbf_way_refs": _pbf_oracle(
-            "way_refs", ["way", "seq", "node"], ["BIGINT", "INTEGER", "BIGINT"]),
-        "s1_pbf_rel_members": _pbf_oracle(
-            "rel_members", ["relation", "seq", "mtype", "member", "role"],
-            ["BIGINT", "INTEGER", "INTEGER", "BIGINT", "VARCHAR"]),
+        "s1_pbf_refs_members": _pbf_refs_members_oracle(),
+        "s2_warc_pages": _warc_oracle_sql(),
         "g12_dp": _golden_sql("g12_dp"),
         "g13_clip": _golden_sql("g13_clip"),
         "l_linear_tiles": _golden_sql("l_linear_tiles"),

@@ -94,3 +94,21 @@ def fingerprint_udf():
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", langid_col(F.col(text_col)))
+
+
+def extract_text_col(html: Column) -> Column:
+    """HTML -> extracted text, pure JVM expressions (whole-stage
+    codegen; no Python workers): drop the <head> block, strip tags,
+    unescape the three core entities.  For documents produced by
+    escaping text into a tag container (the WARC fixture, and any
+    pipeline that records its generator) this is an EXACT inverse —
+    the byte-identical-text invariant is pytest- and oracle-enforced.
+    Entity order matters: &lt;/&gt; first, &amp; last, the inverse of
+    the escape order (& first)."""
+    t = F.decode(html, "utf-8")
+    t = F.regexp_replace(t, r"(?s)<head>.*?</head>", "")
+    t = F.regexp_replace(t, r"<[^>]*>", "")
+    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    return t

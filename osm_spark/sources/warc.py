@@ -1,0 +1,160 @@
+"""WARC source (ISO 28500 / Common-Crawl layout): record index +
+parallel Arrow-batched decode.
+
+The same two-pass shape as the PBF source (sources/pbf.py — the
+reference's streaming-parser re-expression, parser.ml:67-84):
+
+1. ``warc_index`` — ONE cheap metadata pass yields
+   (offset, size, compressed) per record.  For a plain ``.warc`` the
+   pass reads only each record's header block and seeks past the body
+   by ``Content-Length``.  For a ``.warc.gz`` in the Common-Crawl
+   layout (one gzip MEMBER per record, concatenated) the pass walks
+   member boundaries with a streaming inflater; production deployments
+   read the offsets from the accompanying cdx/index files instead —
+   the decode contract (offset, size) is identical either way.
+2. ``decode_records`` — mapInPandas over the index: every executor
+   range-reads ITS records (a ranged GET on object stores), gunzips
+   members where needed, and parses WARC headers + the embedded HTTP
+   response into typed columns.  Parallelism == record count.
+
+Output schema mirrors BASELINE.json's input hint: (url, warc_ts,
+html binary, record_type, http_status) — ``text``/``lang`` are derived
+downstream (``operators.textops.extract_text_col``, ``langid_col``).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np  # noqa: F401  (kept with the sources' numpy convention)
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+CRLF2 = b"\r\n\r\n"
+
+# warc_ts is NTZ: WARC-Date is an explicit UTC instant; storing the
+# UTC wall time tz-free keeps every downstream epoch computation
+# session-timezone-independent (same convention as the events table)
+WARC_SCHEMA = ("url string, warc_ts timestamp_ntz, html binary, "
+               "record_type string, http_status int")
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:        # first line: WARC/1.0
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.strip().decode("ascii").lower()] = v.strip().decode(
+                "utf-8", "replace")
+    return out
+
+
+def iter_warc_index(path: str):
+    """Yield (offset, size, compressed) per WARC record — metadata-only
+    pass (header block + Content-Length seek for plain files; streaming
+    member-boundary walk for .warc.gz)."""
+    if path.endswith(".gz"):
+        with open(path, "rb") as f:
+            data = f.read()
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(data[pos:])
+            end = len(data) - len(d.unused_data)
+            yield pos, end - pos, True
+            pos = end
+        return
+    with open(path, "rb") as f:
+        off = 0
+        while True:
+            f.seek(off)
+            head = f.read(4096)
+            if not head.strip():
+                return
+            hend = head.find(CRLF2)
+            while hend < 0:
+                more = f.read(4096)
+                if not more:
+                    return
+                head += more
+                hend = head.find(CRLF2)
+            hdrs = _parse_headers(head[:hend])
+            clen = int(hdrs["content-length"])
+            size = hend + 4 + clen + 4          # headers + body + \r\n\r\n
+            yield off, size, False
+            off += size
+
+
+def warc_index(spark: SparkSession, path: str) -> DataFrame:
+    rows = [(o, s, c) for o, s, c in iter_warc_index(path)]
+    return spark.createDataFrame(
+        rows, "offset long, size long, compressed boolean")
+
+
+def decode_record(raw: bytes) -> tuple:
+    """One WARC record -> (url, warc_ts_iso, html, record_type, status).
+    The HTTP response head is stripped; ``html`` is the response body
+    bytes exactly as stored."""
+    hend = raw.find(CRLF2)
+    hdrs = _parse_headers(raw[:hend])
+    body = raw[hend + 4:hend + 4 + int(hdrs["content-length"])]
+    rtype = hdrs.get("warc-type", "")
+    url = hdrs.get("warc-target-uri")
+    ts = hdrs.get("warc-date")
+    status = None
+    html = None
+    if rtype == "response" and body.startswith(b"HTTP/"):
+        bhend = body.find(CRLF2)
+        status_line = body[:body.find(b"\r\n")]
+        try:
+            status = int(status_line.split()[1])
+        except (IndexError, ValueError):
+            status = None
+        html = body[bhend + 4:]
+    return url, ts, html, rtype, status
+
+
+def decode_records(spark: SparkSession, path: str,
+                   index: DataFrame | None = None) -> DataFrame:
+    """Parallel decode: mapInPandas over the record index; each worker
+    range-reads and parses its own records."""
+    if index is None:
+        index = warc_index(spark, path)
+    idx = index.repartition(max(spark.sparkContext.defaultParallelism, 2))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                urls, tss, htmls, types, stats = [], [], [], [], []
+                for off, size, comp in zip(pdf["offset"], pdf["size"],
+                                           pdf["compressed"]):
+                    f.seek(int(off))
+                    raw = f.read(int(size))
+                    if comp:
+                        raw = zlib.decompress(raw, wbits=31)
+                    url, ts, html, rtype, status = decode_record(raw)
+                    urls.append(url)
+                    tss.append(pd.Timestamp(ts) if ts else pd.NaT)
+                    htmls.append(html)
+                    types.append(rtype)
+                    stats.append(status)
+                ts = pd.Series(tss, dtype="datetime64[ns, UTC]") \
+                    .dt.tz_convert("UTC").dt.tz_localize(None)
+                yield pd.DataFrame({
+                    "url": urls,
+                    "warc_ts": ts,
+                    "html": htmls,
+                    "record_type": types,
+                    "http_status": pd.array(stats, dtype="Int32"),
+                })
+
+    return idx.mapInPandas(fn, WARC_SCHEMA)
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file -> Common-Crawl-style pages: 200-OK response records
+    only, (url, warc_ts, html)."""
+    recs = decode_records(spark, path)
+    return recs.filter("record_type = 'response' AND http_status = 200") \
+        .select("url", "warc_ts", "html")

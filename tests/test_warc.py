@@ -1,0 +1,56 @@
+"""WARC source (Common-Crawl layout): encode -> decode round trip
+against the independent fixture writer's ground truth, plain and
+gzip-member-per-record variants, plus the byte-identical text
+extraction invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.operators.textops import extract_text_col
+from osm_spark.sources import warc, warc_fixture as WF
+
+
+@pytest.fixture(scope="module", params=["plain", "gz"])
+def warc_path(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    name = "sample.warc" if request.param == "plain" else "sample.warc.gz"
+    return WF.write_sample(str(d / name))
+
+
+def test_index_counts_all_records(spark, warc_path):
+    n = warc.warc_index(spark, warc_path).count()
+    assert n == 1 + 2 * WF.N_PAGES          # warcinfo + (request, response)/page
+
+
+def test_pages_round_trip_and_text_identity(spark, warc_path):
+    pages = warc.read_warc_pages(spark, warc_path).withColumn(
+        "text", extract_text_col(F.col("html")))
+    got = {r.url: (r.warc_ts, bytes(r.html), r.text)
+           for r in pages.collect()}
+    want = WF.expected_pages()
+    assert len(got) == len(want)            # 404s filtered out
+    for i, (url, us, text, n_html) in enumerate(want):
+        ts, html, xtext = got[url]
+        assert int(ts.timestamp() * 1_000_000) == us or True  # NTZ: compare parts
+        assert len(html) == n_html
+        assert xtext == text                # byte-identical extraction
+    # NTZ wall-time check without tz ambiguity
+    ts_us = {r.url: r.us for r in pages.select(
+        "url",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', warc_ts)").alias("us")).collect()}
+    for url, us, _t, _n in want:
+        assert ts_us[url] == us
+
+
+def test_record_types_and_statuses(spark, warc_path):
+    recs = warc.decode_records(spark, warc_path)
+    by_type = {r["record_type"]: r["n"] for r in
+               recs.groupBy("record_type").agg(
+                   F.count("*").alias("n")).collect()}
+    assert by_type == {"warcinfo": 1, "request": WF.N_PAGES,
+                       "response": WF.N_PAGES}
+    n404 = recs.filter("http_status = 404").count()
+    assert n404 == sum(1 for p in WF.sample_pages() if p["status"] == 404)
