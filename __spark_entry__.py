@@ -88,18 +88,24 @@ def q_r05_filter_eq(spark, sf):
     )
 
 
-def q_r09_set_intersect(spark, sf):
-    o = _t(spark, sf, "orders").filter("o_orderstatus = 'O'").select("o_orderkey")
-    li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'").select(
-        F.col("l_orderkey").alias("o_orderkey")
-    )
-    return R.set_intersect(o, li, "o_orderkey")
-
-
-def q_r10_set_diff(spark, sf):
-    o = _t(spark, sf, "orders").select("o_orderkey")
-    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return R.set_diff(o, li, "o_orderkey")
+def q_r09_set_ops(spark, sf):
+    """R9 + R10 in one union-schema probe (kind 0 = merge-intersect,
+    kind 1 = merge-diff), freeing a driver slot for the composed
+    webtext chain."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    inter = R.set_intersect(
+        o.filter("o_orderstatus = 'O'").select("o_orderkey"),
+        li.filter("l_returnflag = 'R'").select(
+            F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+    ).select(F.lit(0).alias("kind"), "o_orderkey")
+    diff = R.set_diff(
+        o.select("o_orderkey"),
+        li.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+    ).select(F.lit(1).alias("kind"), "o_orderkey")
+    return inter.unionByName(diff)
 
 
 def q_r11_join_defaults(spark, sf):
@@ -472,6 +478,29 @@ def q_s2_warc_pages(spark, sf):
         F.octet_length("html").cast("long").alias("n_bytes"))
 
 
+def q_e2e_warc_geo(spark, sf):
+    """The north-star program end-to-end over the REAL WARC source:
+    WARC (Common-Crawl gzip members) → parallel decode → JVM html→text
+    (byte identity carried through to the output column) → url geocode
+    → PIP spatial join vs the polygon layer → z12 tile assignment.
+    The webtext twin of ``e2e_pbf_tiles`` — one composed row catches
+    inter-stage schema drift the per-stage gates cannot."""
+    from osm_spark.sources import warc
+
+    pages = warc.read_warc_pages(spark, _warc_fixture_path())
+    geo = geocode_pages(
+        pages.select("url", TX.extract_text_col(F.col("html")).alias("text")))
+    matches = spatial_join(geo, _city_polys_df(spark), how="left")
+    tiles = T.page_tiles(geo, zooms=(12,))
+    return (
+        geo.select("page_id", "url", "lat", "lon", "text")
+        .join(matches, "page_id", "left")
+        .join(tiles.select("page_id", F.col("x").cast("long").alias("x"),
+                           F.col("y").cast("long").alias("y")),
+              "page_id", "left")
+        .select("page_id", "url", "lat", "lon", "text", "feature_id", "x", "y"))
+
+
 # --- streaming ---------------------------------------------------------
 
 
@@ -732,8 +761,8 @@ def q_g_kernel_values(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "r05_filter_eq": q_r05_filter_eq,
-        "r09_set_intersect": q_r09_set_intersect,
-        "r10_set_diff": q_r10_set_diff,
+        "r09_set_ops": q_r09_set_ops,
+        "e2e_warc_geo": q_e2e_warc_geo,
         "r11_join_defaults": q_r11_join_defaults,
         "r12_top_k": q_r12_top_k,
         "r14_distinct": q_r14_distinct,
@@ -1067,6 +1096,43 @@ def _warc_oracle_sql() -> str:
             f"AS t(url, warc_ts_us, text, n_bytes)")
 
 
+def _warc_geo_oracle_sql() -> str:
+    """Composed-chain oracle: pages ground truth from the WARC fixture
+    generator (page id parsed from the url slug, hash geocode recomputed
+    in exact int64), PIP hits via the shared crossing-number CTE chain,
+    z12 tile x/y from the same integer boundary/DIV formulas as the g22
+    oracle.  Everything downstream of the VALUES literal is independent
+    SQL — the Spark side must round-trip the wire format, the text
+    extraction, the url geocoder, the join, and the tiler to match."""
+    import numpy as np
+
+    from osm_spark.sources import warc_fixture
+
+    def s(x):
+        return "'" + x.replace("'", "''") + "'"
+
+    rows = []
+    for u, _us, tx, _nb in warc_fixture.expected_pages():
+        pid = int(u.rsplit("page", 1)[1])
+        la, lo = FX.geocode_ints(np.array([pid], dtype=np.int64))
+        rows.append((pid, u, tx, int(la[0]), int(lo[0])))
+    body = ", ".join(
+        (f"(CAST({p} AS BIGINT), CAST({s(u)} AS VARCHAR), "
+         f"CAST({s(tx)} AS VARCHAR), CAST({la} AS BIGINT), "
+         f"CAST({lo} AS BIGINT))") if i == 0
+        else f"({p}, {s(u)}, {s(tx)}, {la}, {lo})"
+        for i, (p, u, tx, la, lo) in enumerate(rows))
+    return f"""
+        WITH pages(page_id, url, text, lat, lon) AS (VALUES {body}),{OSQL.pip_hits_chain("pages", "page_id")},
+        rows_(z, y, lat_hi, lat_lo) AS (VALUES {OSQL.tile_rows_values((12,))})
+        SELECT p.page_id, p.url, p.lat, p.lon, p.text, h.feature_id,
+               CAST(((p.lon + {K.LON_OFFSET}) * 4096) // {K.LON_WORLD} AS BIGINT) AS x,
+               CAST(r.y AS BIGINT) AS y
+        FROM pages p
+        LEFT JOIN hits h USING (page_id)
+        LEFT JOIN rows_ r ON p.lat > r.lat_lo AND p.lat <= r.lat_hi"""
+
+
 def _media_cte(where: str = "") -> str:
     """CTEs rebuilding attach_fake_media's payload as a hex string:
     dig = sha256(text); size = 512 + dig[0]*7; payload = (dig repeated)
@@ -1097,12 +1163,14 @@ def _oracle_sql_base() -> dict[str, str]:
     )
     return {
         "r05_filter_eq": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
-        "r09_set_intersect": """
-            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
-              AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
-        "r10_set_diff": """
-            SELECT o_orderkey FROM orders
+        "r09_set_ops": """
+            SELECT CAST(0 AS INTEGER) AS kind, o_orderkey FROM orders
+            WHERE o_orderstatus = 'O'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            UNION ALL
+            SELECT 1 AS kind, o_orderkey FROM orders
             WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+        "e2e_warc_geo": _warc_geo_oracle_sql(),
         "r11_join_defaults": """
             SELECT o.o_orderkey, o.o_custkey,
                    coalesce(c.c_acctbal, 0.0) AS c_acctbal,

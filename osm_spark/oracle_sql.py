@@ -34,26 +34,33 @@ def city_edges_values() -> str:
     return ",".join(rows)
 
 
-def pip_hits_sql() -> str:
-    """CTE chain computing (doc_id, feature_id) PIP hits against the city
-    polygons with the reference crossing-number conventions
-    (osm/geometry.ml:157-174): toggle when (y1>=y)!=(y2>=y) and (d>=0)!=(y1>=y)."""
+def pip_hits_chain(pts: str = "pts", id_col: str = "doc_id") -> str:
+    """CTE chain (edges → cross_counts → hits) computing
+    (id_col, feature_id) PIP hits of the ``pts`` relation against the
+    city polygons with the reference crossing-number conventions
+    (osm/geometry.ml:157-174): toggle when (y1>=y)!=(y2>=y) and
+    (d>=0)!=(y1>=y).  ``pts`` must expose (id_col, lat, lon)."""
     return f"""
-{PTS_CTE},
 edges(feature_id, role, x1, y1, x2, y2) AS (VALUES {city_edges_values()}),
 cross_counts AS (
-  SELECT p.doc_id, e.feature_id, e.role, count(*) AS c
-  FROM pts p JOIN edges e
+  SELECT p.{id_col}, e.feature_id, e.role, count(*) AS c
+  FROM {pts} p JOIN edges e
     ON ((e.y1 >= p.lat) <> (e.y2 >= p.lat))
    AND ((((e.x2 - e.x1) * (p.lat - e.y1) - (p.lon - e.x1) * (e.y2 - e.y1)) >= 0) <> (e.y1 >= p.lat))
   GROUP BY 1, 2, 3
 ),
 hits AS (
-  SELECT doc_id, feature_id FROM cross_counts
-  GROUP BY doc_id, feature_id
+  SELECT {id_col}, feature_id FROM cross_counts
+  GROUP BY {id_col}, feature_id
   HAVING max(CASE WHEN role = 0 THEN c % 2 ELSE 0 END) = 1
      AND max(CASE WHEN role = 1 THEN c % 2 ELSE 0 END) = 0
 )"""
+
+
+def pip_hits_sql() -> str:
+    """documents-geocode instance of :func:`pip_hits_chain`."""
+    return f"""
+{PTS_CTE},{pip_hits_chain()}"""
 
 
 def tile_rows_values(zooms=(8, 12)) -> str:

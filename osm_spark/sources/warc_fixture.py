@@ -24,7 +24,16 @@ def _escape(text: str) -> str:
 def sample_pages() -> list[dict]:
     """Ground truth: (url, iso timestamp, text, lang, status).  Texts
     exercise entities, unicode, and multi-space runs (all of which must
-    survive the html round trip byte-identically)."""
+    survive the html round trip byte-identically).  Urls carry the
+    standard geo slug (``/geo/<lat_fp>/<lon_fp>/page<i>``) with the
+    hash geocode of the page index, so the url geocoder + spatial join
+    compose over this source exactly as over the synthetic pages."""
+    import numpy as np
+
+    from osm_spark import fixtures as FX
+
+    ids = np.arange(N_PAGES, dtype=np.int64)
+    lats, lons = FX.geocode_ints(ids)
     out = []
     langs = ["en", "fr", "de"]
     for i in range(N_PAGES):
@@ -33,7 +42,8 @@ def sample_pages() -> list[dict]:
                 f"accents éèü and  double  spaces"
                 if i % 4 != 3 else f"short {i}")
         out.append({
-            "url": f"https://warc{i % 7}.example/{lang}/item{i}",
+            "url": (f"https://warc{i % 7}.example/{lang}"
+                    f"/geo/{lats[i]}/{lons[i]}/page{i}"),
             "ts": f"2025-01-01T00:{i // 60:02d}:{i % 60:02d}Z",
             "text": text,
             "lang": lang,
