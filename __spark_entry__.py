@@ -490,15 +490,23 @@ def q_e2e_warc_geo(spark, sf):
     pages = warc.read_warc_pages(spark, _warc_fixture_path())
     geo = geocode_pages(
         pages.select("url", TX.extract_text_col(F.col("html")).alias("text")))
+    # tile assignment fused as a broadcast range-join + integer column
+    # expression (zero exchange over pages, integer-exact like
+    # page_tiles_exact); the PIP match is the chain's single wide join
+    rows = T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN)
+    tiled = geo.join(
+        F.broadcast(rows),
+        (geo["lat"] > rows["lat_lo"]) & (geo["lat"] <= rows["lat_hi"]),
+        "left",
+    ).select(
+        "page_id", "url", "lat", "lon", "text",
+        F.expr(f"CAST(((lon + {K.LON_OFFSET}L) * 4096) DIV "
+               f"{K.LON_WORLD}L AS BIGINT)").alias("x"),
+        F.col("y").cast("long").alias("y"))
     matches = spatial_join(geo, _city_polys_df(spark), how="left")
-    tiles = T.page_tiles(geo, zooms=(12,))
-    return (
-        geo.select("page_id", "url", "lat", "lon", "text")
-        .join(matches, "page_id", "left")
-        .join(tiles.select("page_id", F.col("x").cast("long").alias("x"),
-                           F.col("y").cast("long").alias("y")),
-              "page_id", "left")
-        .select("page_id", "url", "lat", "lon", "text", "feature_id", "x", "y"))
+    return (tiled.join(matches, "page_id", "left")
+            .select("page_id", "url", "lat", "lon", "text",
+                    "feature_id", "x", "y"))
 
 
 # --- streaming ---------------------------------------------------------

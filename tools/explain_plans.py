@@ -169,6 +169,43 @@ def main():
             must_contain=("MapInPandas",),
         )
 
+    # 3d. WARC source + the composed webtext chain
+    from osm_spark.sources import warc
+
+    import __spark_entry__ as entrymod
+
+    warc_path = entrymod._warc_fixture_path()
+    wdec = warc.read_warc_pages(spark, warc_path)
+    section(
+        "WARC decode — parallel record ranges",
+        wdec,
+        "Same two-pass shape as PBF: the record index (tiny — in "
+        "production read from cdx side files) spreads ranges across "
+        "executors; decode is one `MapInPandas` doing ranged reads + "
+        "per-member gunzip — parallelism == record count, decoded pages "
+        "are never shuffled.",
+        must_contain=("MapInPandas",),
+    )
+    e2e = entrymod.q_e2e_warc_geo(spark, sf)
+    plan_e2e = fmt(e2e)
+    checks.append(("Composed WARC->geo chain", "no CartesianProduct",
+                   "CartesianProduct" not in plan_e2e))
+    checks.append(("Composed WARC->geo chain", "AdaptiveSparkPlan",
+                   "AdaptiveSparkPlan" in plan_e2e))
+    sections.append(
+        "## Composed webtext chain — WARC → text → geocode → PIP join → tiles\n\n"
+        "The north-star program as one plan: html→text and the url "
+        "geocode are whole-stage-codegen expressions over the decode "
+        "output; the polygon PIP index broadcasts (outside the plan); "
+        "tile assignment is a broadcast range-join on integer row "
+        "boundaries fused into the page select (zero exchange over "
+        "pages for text/geocode/tiles).  No CartesianProduct anywhere; "
+        "the single wide op is the page_id equi-join of the PIP match "
+        "leg — statically SortMergeJoin because `MapInPandas` output "
+        "carries no size stats, converted by AQE at runtime when a "
+        "side is small.\n\n"
+        f"```\n{plan_e2e.strip()}\n```\n")
+
     # 4. kNN cell path: broadcast of the registered feature cells
     feats = geocode_ids(spark.range(64).withColumnRenamed("id", "feature_id"),
                         "feature_id")
