@@ -24,6 +24,7 @@ downstream (``operators.textops.extract_text_col``, ``langid_col``).
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -54,16 +55,40 @@ def iter_warc_index(path: str):
     """Yield (offset, size, compressed) per WARC record — metadata-only
     pass (header block + Content-Length seek for plain files; streaming
     member-boundary walk for .warc.gz)."""
+    cdx = path + ".cdx"
+    if os.path.exists(cdx):
+        # production path: offsets from the accompanying cdx side file
+        # (what Common Crawl publishes) — no inflation at all
+        compressed = path.endswith(".gz")
+        with open(cdx) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    yield int(parts[0]), int(parts[1]), compressed
+        return
     if path.endswith(".gz"):
+        # no side file: one streaming inflate over the file to find
+        # member boundaries — chunk-fed (never the whole tail at once,
+        # which would be O(N^2)); output bytes are discarded
         with open(path, "rb") as f:
             data = f.read()
+        view = memoryview(data)
         pos = 0
+        chunk_sz = 1 << 18
         while pos < len(data):
             d = zlib.decompressobj(wbits=31)
-            d.decompress(data[pos:])
-            end = len(data) - len(d.unused_data)
-            yield pos, end - pos, True
-            pos = end
+            p = pos
+            while True:
+                chunk = view[p:p + chunk_sz]
+                if not chunk:
+                    raise ValueError("truncated gzip member")
+                d.decompress(chunk)
+                p += len(chunk)
+                if d.eof:
+                    p -= len(d.unused_data)
+                    break
+            yield pos, p - pos, True
+            pos = p
         return
     with open(path, "rb") as f:
         off = 0
@@ -158,3 +183,19 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     recs = decode_records(spark, path)
     return recs.filter("record_type = 'response' AND http_status = 200") \
         .select("url", "warc_ts", "html")
+
+
+def read_warc_pages_full(spark: SparkSession, path: str) -> DataFrame:
+    """Pages in exactly the engine's canonical input shape
+    (BASELINE.json input_hint): (url, warc_ts, html, text, lang) —
+    text via the JVM extractor (byte-identity invariant), lang via the
+    marker-word language id.  All derivation is whole-stage-codegen
+    column expressions over the decode output; no extra pass."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.operators import textops as TX
+
+    p = read_warc_pages(spark, path)
+    text = TX.extract_text_col(F.col("html"))
+    return p.select("url", "warc_ts", "html", text.alias("text"),
+                    TX.langid_col(text).alias("lang"))

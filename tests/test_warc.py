@@ -55,6 +55,35 @@ def test_record_types_and_statuses(spark, warc_path):
     assert n404 == sum(1 for p in WF.sample_pages() if p["status"] == 404)
 
 
+def test_cdx_side_file_index_equivalent(spark, tmp_path):
+    """A <path>.cdx side file (the production Common-Crawl layout)
+    replaces the streaming member walk; decode output is identical."""
+    p = WF.write_sample(str(tmp_path / "s.warc.gz"))
+    walked = list(warc.iter_warc_index(p))
+    with open(p + ".cdx", "w") as f:
+        for off, size, _c in walked:
+            f.write(f"{off} {size}\n")
+    via_cdx = list(warc.iter_warc_index(p))
+    assert via_cdx == walked
+    texts = warc.read_warc_pages(spark, p).select("url").collect()
+    assert len(texts) == len(WF.expected_pages())
+
+
+def test_pages_full_matches_input_hint_shape(spark, warc_path):
+    """read_warc_pages_full yields exactly the canonical pages schema
+    (url, warc_ts, html, text, lang) from BASELINE.json's input_hint."""
+    full = warc.read_warc_pages_full(spark, warc_path)
+    assert [(f.name, f.dataType.simpleString()) for f in full.schema] == [
+        ("url", "string"), ("warc_ts", "timestamp_ntz"),
+        ("html", "binary"), ("text", "string"), ("lang", "string")]
+    rows = full.collect()
+    assert len(rows) == len(WF.expected_pages())
+    assert all(r.lang is not None for r in rows)
+    texts = {r.url: r.text for r in rows}
+    for url, _us, text, _n in WF.expected_pages():
+        assert texts[url] == text
+
+
 def test_warc_chain_staged_resume(spark, tmp_path):
     """The composed north-star chain as a resumable checkpointed
     pipeline: decode → text+geocode → PIP join.  A second run resumes
