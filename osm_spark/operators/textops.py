@@ -106,8 +106,10 @@ def extract_text_col(html: Column) -> Column:
     Entity order matters: &lt;/&gt; first, &amp; last, the inverse of
     the escape order (& first)."""
     t = F.decode(html, "utf-8")
-    t = F.regexp_replace(t, r"(?s)<head>.*?</head>", "")
-    t = F.regexp_replace(t, r"<[^>]*>", "")
+    # head-block drop and tag strip fused into one alternation pass
+    # (leftmost-alternative preference makes it equivalent to the
+    # sequential two-pass form): one fewer full-string allocation
+    t = F.regexp_replace(t, r"(?s)<head>.*?</head>|<[^>]*>", "")
     t = F.replace(t, F.lit("&lt;"), F.lit("<"))
     t = F.replace(t, F.lit("&gt;"), F.lit(">"))
     t = F.replace(t, F.lit("&amp;"), F.lit("&"))

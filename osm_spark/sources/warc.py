@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import numpy as np  # noqa: F401  (kept with the sources' numpy convention)
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CRLF2 = b"\r\n\r\n"
 
@@ -112,7 +113,17 @@ def iter_warc_index(path: str):
 
 
 def warc_index(spark: SparkSession, path: str) -> DataFrame:
-    rows = [(o, s, c) for o, s, c in iter_warc_index(path)]
+    """Record index as a DataFrame.  With a cdx side file the index is
+    read DISTRIBUTED (Spark csv scan — the driver never materializes
+    it); the walked fallback ships via one Arrow batch."""
+    cdx = path + ".cdx"
+    if os.path.exists(cdx):
+        return (spark.read
+                .csv(cdx, sep=" ", schema="offset long, size long")
+                .withColumn("compressed",
+                            F.lit(path.endswith(".gz"))))
+    rows = pd.DataFrame(iter_warc_index(path),
+                        columns=["offset", "size", "compressed"])
     return spark.createDataFrame(
         rows, "offset long, size long, compressed boolean")
 
@@ -140,30 +151,58 @@ def decode_record(raw: bytes) -> tuple:
     return url, ts, html, rtype, status
 
 
+_SPAN_BYTES = 8 << 20        # coalesced read span (one ranged GET)
+
+
 def decode_records(spark: SparkSession, path: str,
                    index: DataFrame | None = None) -> DataFrame:
     """Parallel decode: mapInPandas over the record index; each worker
-    range-reads and parses its own records."""
+    range-reads and parses its own records.
+
+    Partitioning is RANGE on offset, so every task owns a contiguous
+    byte region, and each pandas batch's records are read as a few
+    coalesced ~8 MB span reads instead of one seek+read per record —
+    on an object store that is the difference between 10k GETs and a
+    handful of ranged GETs per task."""
     if index is None:
         index = warc_index(spark, path)
-    idx = index.repartition(max(spark.sparkContext.defaultParallelism, 2))
+    idx = index.repartitionByRange(
+        max(spark.sparkContext.defaultParallelism, 2), "offset")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with open(path, "rb") as f:
             for pdf in batches:
+                pdf = pdf.sort_values("offset")
+                offs = pdf["offset"].to_numpy()
+                ends = offs + pdf["size"].to_numpy()
+                # greedy span grouping: cut where the next record would
+                # push the span past _SPAN_BYTES (records are adjacent,
+                # so spans are dense)
+                spans: dict[int, bytes] = {}
+                starts = []
+                s = 0
+                for i in range(1, len(offs) + 1):
+                    if i == len(offs) or ends[i - 1] - offs[s] > _SPAN_BYTES:
+                        f.seek(int(offs[s]))
+                        spans[s] = f.read(int(ends[i - 1] - offs[s]))
+                        starts.append((s, i))
+                        s = i
                 urls, tss, htmls, types, stats = [], [], [], [], []
-                for off, size, comp in zip(pdf["offset"], pdf["size"],
-                                           pdf["compressed"]):
-                    f.seek(int(off))
-                    raw = f.read(int(size))
-                    if comp:
-                        raw = zlib.decompress(raw, wbits=31)
-                    url, ts, html, rtype, status = decode_record(raw)
-                    urls.append(url)
-                    tss.append(pd.Timestamp(ts) if ts else pd.NaT)
-                    htmls.append(html)
-                    types.append(rtype)
-                    stats.append(status)
+                comp = pdf["compressed"].to_numpy()
+                for s, e in starts:
+                    buf = memoryview(spans[s])
+                    base = int(offs[s])
+                    for j in range(s, e):
+                        raw = bytes(buf[int(offs[j]) - base:
+                                        int(ends[j]) - base])
+                        if comp[j]:
+                            raw = zlib.decompress(raw, wbits=31)
+                        url, ts, html, rtype, status = decode_record(raw)
+                        urls.append(url)
+                        tss.append(pd.Timestamp(ts) if ts else pd.NaT)
+                        htmls.append(html)
+                        types.append(rtype)
+                        stats.append(status)
                 ts = pd.Series(tss, dtype="datetime64[ns, UTC]") \
                     .dt.tz_convert("UTC").dt.tz_localize(None)
                 yield pd.DataFrame({

@@ -1,19 +1,20 @@
 """WARC-source decode throughput at two parallelism levels.
 
 Same protocol as tools/scaling.py (north-rule evidence): the identical
-job — index + parallel gzip-member decode + JVM html→text + count —
-run in separate Spark sessions at local[2] and local[8], per-level
-MINIMUM over N interleaved reps (host co-tenant noise robustness), an
-untimed warm-up pass per level.  Prints one JSON line and appends the
-table to BENCH/ANALYSIS.md is left to the caller; raw JSON is written
-to BENCH/warcbench.json.
+job — cdx index scan + parallel span-read gzip-member decode + JVM
+html→text + aggregate — run as a SEPARATE PROCESS per (level, rep),
+levels interleaved so a co-tenant noise window cannot inflate one level
+only, per-level MINIMUM across reps, an untimed warm-up pass inside
+each process.  Raw JSON → BENCH/warcbench.json, one JSON line printed.
 
 Usage: python tools/warcbench.py [n_pages] [reps]
+       python tools/warcbench.py --child <cores> <path>   (internal)
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -21,8 +22,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+LEVELS = (2, 8)
 
-def run_level(cores: int, path: str, reps: int) -> float:
+
+def child(cores: int, path: str) -> None:
     from pyspark.sql import functions as F
 
     from osm_spark.operators import textops as TX
@@ -41,13 +44,20 @@ def run_level(cores: int, path: str, reps: int) -> float:
         return time.perf_counter() - t0
 
     job()                                    # untimed warm-up
-    best = min(job() for _ in range(reps))
+    print(json.dumps({"sec": job()}))
     spark.stop()
-    return best
+
+
+def run_child(cores: int, path: str) -> float:
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(cores), path],
+        capture_output=True, text=True, timeout=900, cwd=str(REPO))
+    line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
+    return json.loads(line)["sec"]
 
 
 def main() -> int:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from osm_spark.sources import warc_fixture
@@ -56,15 +66,21 @@ def main() -> int:
     if not path.exists():
         warc_fixture.write_scaled(str(path), n_pages)
 
-    t2 = run_level(2, str(path), reps)
-    t8 = run_level(8, str(path), reps)
-    eff = (t2 / t8) / 4
+    best: dict[int, float] = {}
+    for rep in range(reps):
+        for cores in LEVELS:                 # interleaved levels
+            t = run_child(cores, str(path))
+            best[cores] = min(best.get(cores, float("inf")), t)
+            print(f"rep {rep} local[{cores}]: {t:.3f} s", file=sys.stderr)
+    lo, hi = LEVELS
+    eff = (best[lo] / best[hi]) / (hi / lo)
     result = {
         "n_pages": n_pages, "reps": reps,
-        "local2_sec": round(t2, 3), "local8_sec": round(t8, 3),
-        "pages_per_sec_local2": round(n_pages / t2, 1),
-        "pages_per_sec_local8": round(n_pages / t8, 1),
-        "scaling_efficiency_2_to_8": round(eff, 3),
+        f"local{lo}_sec": round(best[lo], 3),
+        f"local{hi}_sec": round(best[hi], 3),
+        f"pages_per_sec_local{lo}": round(n_pages / best[lo], 1),
+        f"pages_per_sec_local{hi}": round(n_pages / best[hi], 1),
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     (REPO / "BENCH" / "warcbench.json").write_text(json.dumps(result))
     print(json.dumps(result))
@@ -72,4 +88,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
+        raise SystemExit(0)
     raise SystemExit(main())
