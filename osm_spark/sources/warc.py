@@ -170,50 +170,88 @@ def decode_records(spark: SparkSession, path: str,
         max(spark.sparkContext.defaultParallelism, 2), "offset")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
-            for pdf in batches:
-                pdf = pdf.sort_values("offset")
-                offs = pdf["offset"].to_numpy()
-                ends = offs + pdf["size"].to_numpy()
-                # greedy span grouping: cut where the next record would
-                # push the span past _SPAN_BYTES (records are adjacent,
-                # so spans are dense)
-                spans: dict[int, bytes] = {}
-                starts = []
-                s = 0
-                for i in range(1, len(offs) + 1):
-                    if i == len(offs) or ends[i - 1] - offs[s] > _SPAN_BYTES:
-                        f.seek(int(offs[s]))
-                        spans[s] = f.read(int(ends[i - 1] - offs[s]))
-                        starts.append((s, i))
-                        s = i
-                urls, tss, htmls, types, stats = [], [], [], [], []
-                comp = pdf["compressed"].to_numpy()
-                for s, e in starts:
-                    buf = memoryview(spans[s])
-                    base = int(offs[s])
-                    for j in range(s, e):
-                        raw = bytes(buf[int(offs[j]) - base:
-                                        int(ends[j]) - base])
-                        if comp[j]:
-                            raw = zlib.decompress(raw, wbits=31)
-                        url, ts, html, rtype, status = decode_record(raw)
-                        urls.append(url)
-                        tss.append(pd.Timestamp(ts) if ts else pd.NaT)
-                        htmls.append(html)
-                        types.append(rtype)
-                        stats.append(status)
-                ts = pd.Series(tss, dtype="datetime64[ns, UTC]") \
-                    .dt.tz_convert("UTC").dt.tz_localize(None)
-                yield pd.DataFrame({
-                    "url": urls,
-                    "warc_ts": ts,
-                    "html": htmls,
-                    "record_type": types,
-                    "http_status": pd.array(stats, dtype="Int32"),
-                })
+        for pdf in batches:
+            yield _decode_pdf(path, pdf)
 
     return idx.mapInPandas(fn, WARC_SCHEMA)
+
+
+def _decode_pdf(path: str, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode one index batch (offset, size, compressed) of ``path``
+    into typed WARC_SCHEMA columns via span-coalesced range reads."""
+    pdf = pdf.sort_values("offset")
+    offs = pdf["offset"].to_numpy()
+    ends = offs + pdf["size"].to_numpy()
+    urls, tss, htmls, types, stats = [], [], [], [], []
+    comp = pdf["compressed"].to_numpy()
+    with open(path, "rb") as f:
+        # greedy span grouping: cut where the next record would push
+        # the span past _SPAN_BYTES (records are adjacent, so spans
+        # are dense)
+        spans: dict[int, bytes] = {}
+        starts = []
+        s = 0
+        for i in range(1, len(offs) + 1):
+            if i == len(offs) or ends[i - 1] - offs[s] > _SPAN_BYTES:
+                f.seek(int(offs[s]))
+                spans[s] = f.read(int(ends[i - 1] - offs[s]))
+                starts.append((s, i))
+                s = i
+    for s, e in starts:
+        buf = memoryview(spans[s])
+        base = int(offs[s])
+        for j in range(s, e):
+            raw = bytes(buf[int(offs[j]) - base:int(ends[j]) - base])
+            if comp[j]:
+                raw = zlib.decompress(raw, wbits=31)
+            url, ts, html, rtype, status = decode_record(raw)
+            urls.append(url)
+            tss.append(pd.Timestamp(ts) if ts else pd.NaT)
+            htmls.append(html)
+            types.append(rtype)
+            stats.append(status)
+    ts = pd.Series(tss, dtype="datetime64[ns, UTC]") \
+        .dt.tz_convert("UTC").dt.tz_localize(None)
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": ts,
+        "html": htmls,
+        "record_type": types,
+        "http_status": pd.array(stats, dtype="Int32"),
+    })
+
+
+def stream_warc_pages(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Structured-Streaming WARC ingestion: ``.warc(.gz)`` files land
+    in ``landing_dir`` together with ``.cdx`` side files; the stream
+    tails the cdx files with Spark's file source (exactly-once file
+    tracking for free) and decodes each batch's members with the same
+    span-read kernel as the batch reader.  Returns the streaming pages
+    DataFrame (url, warc_ts, html) — compose with watermarks /
+    extract_text_col / writeStream downstream."""
+    from urllib.parse import unquote, urlparse
+
+    idx = (spark.readStream
+           .schema("offset long, size long")
+           .option("sep", " ")
+           .csv(os.path.join(landing_dir, "*.cdx"))
+           .withColumn("src", F.input_file_name()))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for src, grp in pdf.groupby("src"):
+                path = unquote(urlparse(str(src)).path)
+                if path.endswith(".cdx"):
+                    path = path[:-len(".cdx")]
+                grp = grp.assign(compressed=path.endswith(".gz"))
+                yield _decode_pdf(
+                    path, grp[["offset", "size", "compressed"]])
+
+    recs = idx.mapInPandas(fn, WARC_SCHEMA)
+    return recs.filter("record_type = 'response' AND http_status = 200") \
+        .select("url", "warc_ts", "html")
 
 
 def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:

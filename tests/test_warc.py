@@ -84,6 +84,37 @@ def test_pages_full_matches_input_hint_shape(spark, warc_path):
         assert texts[url] == text
 
 
+def test_stream_warc_pages_landing_dir(spark, tmp_path):
+    """Streaming ingestion over a landing dir of .warc.gz + .cdx
+    pairs: the file source tracks cdx files; decoded pages match the
+    batch reader byte-for-byte across both files."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k in range(2):
+        p = str(land / f"crawl{k}.warc.gz")
+        WF.write_sample(p)
+        walked = list(warc.iter_warc_index(p))   # before the cdx exists
+        with open(p + ".cdx", "w") as f:
+            for off, size, _c in walked:
+                f.write(f"{off} {size}\n")
+    stream = warc.stream_warc_pages(spark, str(land))
+    assert stream.isStreaming
+    q = (stream.withColumn("text", extract_text_col(F.col("html")))
+         .writeStream.format("memory").queryName("warc_stream")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT url, text FROM warc_stream").collect()
+    want = WF.expected_pages()
+    assert len(rows) == 2 * len(want)
+    texts = {}
+    for r in rows:
+        texts.setdefault(r.url, []).append(r.text)
+    for url, _us, text, _n in want:
+        assert texts[url] == [text, text]   # once per landed file
+
+
 def test_warc_chain_staged_resume(spark, tmp_path):
     """The composed north-star chain as a resumable checkpointed
     pipeline: decode → text+geocode → PIP join.  A second run resumes
