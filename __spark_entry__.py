@@ -26,6 +26,7 @@ from osm_spark.operators import linear as LN
 from osm_spark.operators import multimodal as MM
 from osm_spark.operators import multipolygon as MP
 from osm_spark.operators.cluster import with_hilbert_key
+from osm_spark.operators import raster as RZ
 from osm_spark.operators import relational as R
 from osm_spark.operators import routing as RT
 from osm_spark.operators import similarity as SIM
@@ -337,24 +338,57 @@ def q_s_near_dup_bucketed(spark, sf):
         _t(spark, sf, "embeddings"), threshold=0.4, dim=64)
 
 
-def q_mm_byte_hist(spark, sf):
-    """One row per (doc, bin) — hashable scalars for the driver's
-    canonicalizer (an array<long> column is not)."""
+def q_mm_media(spark, sf):
+    """Byte-histogram features + sampled frames in one result (kind 0 =
+    histogram bin, kind 1 = frame): one row per (doc, kind, idx) with
+    hashable scalars for the driver's canonicalizer (an array<long>
+    column is not; frame bytes hex-encoded so DuckDB rebuilds them from
+    sha256 arithmetic).  Frames restricted to the deterministic subset
+    doc_id < 200 (not LIMIT)."""
     media = MM.attach_fake_media(_t(spark, sf, "documents"))
     h = MM.byte_histogram_features(media)
-    return (
+    hist = (
         h.select("doc_id", F.posexplode("features").alias("bin", "cnt"))
-        .select("doc_id", F.col("bin").cast("long").alias("bin"), "cnt")
+        .select("doc_id", F.lit(0).cast("int").alias("kind"),
+                F.col("bin").cast("long").alias("idx"),
+                F.col("cnt").cast("string").alias("val"))
     )
+    fr = MM.sample_frames(
+        media.filter("doc_id < 200"), n_frames=4, frame_bytes=32)
+    frames = fr.select(
+        "doc_id", F.lit(1).cast("int").alias("kind"),
+        F.col("frame_idx").cast("long").alias("idx"),
+        F.hex(F.col("frame")).alias("val"))
+    return hist.unionByName(frames)
 
 
-def q_mm_frames(spark, sf):
-    """Deterministic doc subset (doc_id < 200, not LIMIT) and hex-encoded
-    frame bytes so DuckDB can rebuild them from sha256 arithmetic."""
-    media = MM.attach_fake_media(
-        _t(spark, sf, "documents").filter("doc_id < 200"))
-    fr = MM.sample_frames(media, n_frames=4, frame_bytes=32)
-    return fr.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
+def q_g_raster_roundtrip(spark, sf):
+    """Raster↔vector roundtrip over the 5 city polygons: rasterize on a
+    128×128 integer grid, marching-squares vectorize the cell table back
+    to boundary rings, re-rasterize the traced rings, and return the
+    final cell table.  The oracle computes only the FIRST rasterization
+    (grid-center PIP + 4-neighbor counts in plain int64 SQL) — the
+    roundtrip is the identity on the cell set, so any tracing or
+    re-fill defect breaks the hash.  Reference analog: integer scanline
+    polygon fill in the renderer (osm/lib/osm_display.ml)."""
+    polys = spark.createDataFrame(
+        [(p["feature_id"], p["category"],
+          [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
+         for p in FX.city_polygons()],
+        "feature_id long, category int, "
+        "rings array<struct<role:int, lat:array<long>, lon:array<long>>>",
+    )
+    n = 128
+    cells = RZ.rasterize_polygons(polys, FX.LAT0, FX.LON0, FX.SPAN, n)
+    rings = RZ.vectorize_cells(cells, FX.LAT0, FX.LON0, FX.SPAN, n)
+    polys2 = (rings.groupBy("feature_id")
+              .agg(F.collect_list(F.struct("role", "lat", "lon")).alias("rings"))
+              .withColumn("category", F.lit(0).cast("int")))
+    cells2 = RZ.rasterize_polygons(
+        polys2.select("feature_id", "category", "rings"),
+        FX.LAT0, FX.LON0, FX.SPAN, n)
+    return cells2.select("feature_id", "cx", "cy",
+                         F.col("n_nb").cast("int").alias("n_nb"))
 
 
 # DSL exercising Any + Not + key-default + unknown-value paths
@@ -795,8 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_viewport": q_g22_viewport,
         "g10_curve_keys": q_g10_curve_keys,
         "s_near_dup_bucketed": q_s_near_dup_bucketed,
-        "mm_byte_hist": q_mm_byte_hist,
-        "mm_frames": q_mm_frames,
+        "mm_media": q_mm_media,
+        "g_raster_roundtrip": q_g_raster_roundtrip,
         "g13_clip": q_g13_clip,
         "c_tag_dsl": q_c_tag_dsl,
         "s1_pbf_nodes": q_s1_pbf_nodes,
@@ -1158,6 +1192,33 @@ p_ AS (SELECT doc_id, size,
        FROM s_)"""
 
 
+def _raster_oracle_sql(n: int = 128) -> str:
+    """First-rasterization twin of q_g_raster_roundtrip: grid-center PIP
+    against the city polygon edges (the shared crossing-number chain)
+    plus a 4-neighbor presence count — exact int64 arithmetic end to
+    end.  The Spark query returns the roundtripped cell table, which
+    must equal this by the roundtrip-identity property."""
+    s = FX.SPAN // n
+    return f"""
+        WITH grid AS (
+          SELECT i AS cell_id,
+                 {FX.LAT0} + (i // {n}) * {s} + {s // 2} AS lat,
+                 {FX.LON0} + (i % {n}) * {s} + {s // 2} AS lon
+          FROM range(0, {n * n}) t(i)),{OSQL.pip_hits_chain('grid', 'cell_id')},
+        filled AS (
+          SELECT feature_id, cell_id % {n} AS cx, cell_id // {n} AS cy
+          FROM hits),
+        nb AS (
+          SELECT f.feature_id, f.cx, f.cy, CAST(count(g.cx) AS INT) AS n_nb
+          FROM filled f LEFT JOIN filled g
+            ON g.feature_id = f.feature_id
+           AND abs(g.cx - f.cx) + abs(g.cy - f.cy) = 1
+          GROUP BY 1, 2, 3)
+        SELECT CAST(feature_id AS BIGINT) AS feature_id,
+               CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, n_nb
+        FROM nb"""
+
+
 def _oracle_sql_base() -> dict[str, str]:
     zc, zlast = OSQL.zorder_ctes_duckdb()
     n_tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -1306,7 +1367,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM s GROUP BY user_id, session_no""",
-        "mm_byte_hist": f"""
+        "mm_media": f"""
             WITH {_media_cte().lstrip()},
             pos_ AS (SELECT doc_id, unnest(range(0, size)) AS i, ph FROM p_),
             cnts_ AS (
@@ -1314,20 +1375,22 @@ def _oracle_sql_base() -> dict[str, str]:
                      strpos('0123456789abcdef', substr(ph, CAST(2 * i + 1 AS INT), 1)) - 1 AS bin,
                      count(*) AS c
               FROM pos_ GROUP BY 1, 2),
-            bins_ AS (SELECT doc_id, unnest(range(0, {MM.N_HIST_BINS})) AS bin FROM documents)
-            SELECT b.doc_id, CAST(b.bin AS BIGINT) AS bin,
-                   CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
-            FROM bins_ b LEFT JOIN cnts_ c ON c.doc_id = b.doc_id AND c.bin = b.bin""",
-        "mm_frames": f"""
-            WITH {_media_cte("WHERE doc_id < 200").lstrip()},
+            bins_ AS (SELECT doc_id, unnest(range(0, {MM.N_HIST_BINS})) AS bin FROM documents),
+            hist_ AS (
+              SELECT b.doc_id, CAST(0 AS INT) AS kind, CAST(b.bin AS BIGINT) AS idx,
+                     CAST(CAST(coalesce(c.c, 0) AS BIGINT) AS VARCHAR) AS val
+              FROM bins_ b LEFT JOIN cnts_ c ON c.doc_id = b.doc_id AND c.bin = b.bin),
             f_ AS (SELECT doc_id, unnest(range(0, 4)) AS k, ph, size,
                           greatest((size - 32) // 3, 1) AS stride
-                   FROM p_),
+                   FROM p_ WHERE doc_id < 200),
             o_ AS (SELECT doc_id, k, least(k * stride, greatest(size - 32, 0)) AS off, ph
-                   FROM f_)
-            SELECT doc_id, CAST(k AS INT) AS frame_idx,
-                   upper(substr(ph, CAST(2 * off + 1 AS INT), 64)) AS frame_hex
-            FROM o_""",
+                   FROM f_),
+            fr_ AS (
+              SELECT doc_id, CAST(1 AS INT) AS kind, CAST(k AS BIGINT) AS idx,
+                     upper(substr(ph, CAST(2 * off + 1 AS INT), 64)) AS val
+              FROM o_)
+            SELECT * FROM hist_ UNION ALL SELECT * FROM fr_""",
+        "g_raster_roundtrip": _raster_oracle_sql(),
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)""",

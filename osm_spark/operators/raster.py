@@ -1,0 +1,174 @@
+"""Raster ↔ vector conversion over an integer cell grid.
+
+The engine's raster is a CELL TABLE — (cx, cy, feature_id, category,
+n_nb) rows over an n×n integer grid covering a lat/lon box — the
+Spark-idiomatic raster representation: partitionable, joinable, and
+exactly reproducible in oracle SQL (plain int64 arithmetic, no
+mercator floats).
+
+- ``rasterize_polygons`` (vector → raster): generate the grid's cell
+  centers JVM-side (one ``spark.range``, zero shuffle) and reuse the
+  broadcast PIP spatial join — fill = crossing-number test of each
+  center against the polygon rings (holes respected via the even-odd
+  role rule, same kernel as the page join).  Boundary cells fall out
+  of a 4-neighbor presence count (one self-join + groupBy).
+- ``vectorize_cells`` (raster → vector): per-feature marching-squares
+  boundary tracing in ``applyInPandas`` — emit each filled cell's
+  exposed edges oriented interior-left, chain corner-to-corner (the
+  same endpoint-chaining idea as coastline ring assembly,
+  coastline.py), and close rings; outers come out CCW and holes CW by
+  construction.  Round trip: the even-odd fill of the traced rings
+  equals the input cell set exactly (tests/test_raster.py).
+
+The reference's renderer walks polygon scanlines to paint tiles
+(osm/lib/osm_display.ml); this is the analysis-side equivalent over
+the same integer geometry, built from the repo's existing PIP kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_spark.operators.spatial_join import spatial_join
+
+RING_SCHEMA = ("feature_id long, ring_idx int, role int, "
+               "lat array<long>, lon array<long>")
+
+
+def grid_df(spark: SparkSession, lat0: int, lon0: int, span: int,
+            n: int) -> DataFrame:
+    """n×n cell-center grid over the box — one JVM range, no shuffle.
+
+    Cell (cx, cy) spans [lat0 + cy*s, lat0 + (cy+1)*s) × likewise in
+    lon with s = span // n (span must divide evenly so both engines
+    agree exactly); the center offset is s // 2."""
+    if span % n or (span // n) % 2:
+        raise ValueError("span must split into n even-sized cells")
+    s = span // n
+    return spark.range(n * n).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % n).alias("cx"),
+        (F.col("id") / n).cast("long").alias("cy"),
+    ).select(
+        "cell_id", "cx", "cy",
+        (F.lit(lat0) + F.col("cy") * s + s // 2).alias("lat"),
+        (F.lit(lon0) + F.col("cx") * s + s // 2).alias("lon"),
+    )
+
+
+def rasterize_polygons(polys: DataFrame, lat0: int, lon0: int, span: int,
+                       n: int) -> DataFrame:
+    """Vector → raster: (feature_id, category, cx, cy, n_nb) filled
+    cells; ``n_nb`` counts filled 4-neighbors (< 4 ⇒ boundary cell —
+    off-grid neighbors count as unfilled, so box-edge cells are
+    boundaries, matching the vectorizer's traced rings)."""
+    spark = polys.sparkSession
+    g = grid_df(spark, lat0, lon0, span, n)
+    hits = spatial_join(
+        g.select(F.col("cell_id").alias("page_id"), "lat", "lon"),
+        polys, how="inner")
+    filled = hits.select(
+        "feature_id",
+        (F.col("page_id") % n).alias("cx"),
+        (F.col("page_id") / n).cast("long").alias("cy"))
+    nbr = filled.select(
+        "feature_id", "cx", "cy",
+        F.explode(F.array(
+            F.struct((F.col("cx") + 1).alias("nx"), F.col("cy").alias("ny")),
+            F.struct((F.col("cx") - 1).alias("nx"), F.col("cy").alias("ny")),
+            F.struct(F.col("cx").alias("nx"), (F.col("cy") + 1).alias("ny")),
+            F.struct(F.col("cx").alias("nx"), (F.col("cy") - 1).alias("ny")),
+        )).alias("nb")).select(
+        "feature_id", "cx", "cy",
+        F.col("nb.nx").alias("nx"), F.col("nb.ny").alias("ny"))
+    present = nbr.join(
+        filled.select(F.col("feature_id").alias("feature_id"),
+                      F.col("cx").alias("nx"), F.col("cy").alias("ny")),
+        ["feature_id", "nx", "ny"], "inner")
+    cnt = present.groupBy("feature_id", "cx", "cy").agg(
+        F.count("*").alias("n_nb"))
+    cat = polys.select("feature_id", "category")
+    return (filled.join(cnt, ["feature_id", "cx", "cy"], "left")
+            .withColumn("n_nb", F.coalesce(F.col("n_nb"), F.lit(0)))
+            .join(F.broadcast(cat), "feature_id")
+            .select("feature_id", "category", "cx", "cy",
+                    F.col("n_nb").cast("int").alias("n_nb")))
+
+
+def _trace_rings(cells: set[tuple[int, int]]) -> list[list[tuple[int, int]]]:
+    """Marching-squares boundary tracing: exposed cell edges oriented
+    interior-left, chained corner-to-corner into closed rings."""
+    # outgoing edges per start corner (a corner can have 2 outgoing at
+    # a diagonal pinch; pick by turn preference during the walk)
+    out: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def edge(a, b):
+        out.setdefault(a, []).append(b)
+
+    for (x, y) in cells:
+        if (x, y - 1) not in cells:
+            edge((x, y), (x + 1, y))          # bottom, interior above
+        if (x + 1, y) not in cells:
+            edge((x + 1, y), (x + 1, y + 1))  # right, interior left
+        if (x, y + 1) not in cells:
+            edge((x + 1, y + 1), (x, y + 1))  # top, interior below
+        if (x - 1, y) not in cells:
+            edge((x, y + 1), (x, y))          # left, interior right
+    rings = []
+    while out:
+        start = min(out)                      # deterministic
+        ring = [start]
+        prev_dir = None
+        cur = start
+        while True:
+            cands = out[cur]
+            if len(cands) == 1 or prev_dir is None:
+                nxt = cands[0]
+            else:
+                # diagonal pinch: prefer the sharpest LEFT turn so the
+                # walk stays on one region boundary
+                def turn(c):
+                    d = (c[0] - cur[0], c[1] - cur[1])
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    return -cross
+                nxt = min(cands, key=turn)
+            cands.remove(nxt)
+            if not cands:
+                del out[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                ring.append(start)
+                break
+            ring.append(cur)
+        rings.append(ring)
+    return rings
+
+
+def vectorize_cells(cells: DataFrame, lat0: int, lon0: int, span: int,
+                    n: int) -> DataFrame:
+    """Raster → vector: closed boundary rings per feature as
+    fixed-point corner coordinates.  role 0 = outer (CCW, positive
+    shoelace), 1 = hole (CW) — orientation falls out of the
+    interior-left edge rule, the role is just the sign."""
+    s = span // n
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["feature_id"].iloc[0])
+        cset = set(zip(pdf["cx"].astype(int), pdf["cy"].astype(int)))
+        rows = []
+        for ri, ring in enumerate(_trace_rings(cset)):
+            xs = np.array([c[0] for c in ring], dtype=np.int64)
+            ys = np.array([c[1] for c in ring], dtype=np.int64)
+            area2 = int(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+            rows.append((fid, ri, 0 if area2 > 0 else 1,
+                         (lat0 + ys * s).tolist(),
+                         (lon0 + xs * s).tolist()))
+        return pd.DataFrame(
+            rows, columns=["feature_id", "ring_idx", "role", "lat", "lon"])
+
+    return (cells.select("feature_id", "cx", "cy")
+            .groupBy("feature_id").applyInPandas(fn, RING_SCHEMA))

@@ -1,0 +1,164 @@
+"""Raster ↔ vector grid conversion (osm_spark/operators/raster.py).
+
+Reference behavior being paralleled: the renderer's scanline polygon
+fill over integer tile grids (osm/lib/osm_display.ml) — here expressed
+as a cell table plus marching-squares vectorization, round-trippable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.fixtures import FIXED_POINT, LAT0, LON0, city_polygons
+from osm_spark.operators.raster import (
+    _trace_rings,
+    grid_df,
+    rasterize_polygons,
+    vectorize_cells,
+)
+
+POLY_SCHEMA = ("feature_id long, category int, "
+               "rings array<struct<role:int, lat:array<long>, lon:array<long>>>")
+
+
+def _shoelace2(ring):
+    xs = np.array([c[0] for c in ring], np.int64)
+    ys = np.array([c[1] for c in ring], np.int64)
+    return int(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+
+
+# ---------------------------------------------------------------- tracing
+
+def test_trace_single_cell():
+    rings = _trace_rings({(0, 0)})
+    assert len(rings) == 1
+    r = rings[0]
+    assert r[0] == r[-1]
+    assert set(r) == {(0, 0), (1, 0), (1, 1), (0, 1)}
+    assert _shoelace2(r) > 0  # outer CCW
+
+
+def test_trace_donut_hole_is_cw():
+    cells = {(x, y) for x in range(3) for y in range(3)} - {(1, 1)}
+    rings = _trace_rings(cells)
+    assert len(rings) == 2
+    areas = sorted(_shoelace2(r) for r in rings)
+    assert areas[0] == -2   # hole: unit cell CW
+    assert areas[1] == 18   # outer: 3x3 CCW
+    hole = [r for r in rings if _shoelace2(r) < 0][0]
+    assert set(hole) == {(1, 1), (2, 1), (2, 2), (1, 2)}
+
+
+def test_trace_diagonal_pinch_two_rings():
+    # two cells sharing only a corner: 4-connectivity ⇒ two regions,
+    # and the left-turn rule must not jump between them at (1, 1)
+    rings = _trace_rings({(0, 0), (1, 1)})
+    assert len(rings) == 2
+    sets = [set(r) for r in rings]
+    assert {(0, 0), (1, 0), (1, 1), (0, 1)} in sets
+    assert {(1, 1), (2, 1), (2, 2), (1, 2)} in sets
+    assert all(_shoelace2(r) > 0 for r in rings)
+
+
+def test_trace_l_shape_single_ring():
+    rings = _trace_rings({(0, 0), (1, 0), (0, 1)})
+    assert len(rings) == 1
+    assert _shoelace2(rings[0]) == 2 * 3
+
+
+# ------------------------------------------------------------- rasterize
+
+N = 64
+SPAN_G = 4 * FIXED_POINT  # divides into 64 even cells: 625000 each
+
+
+@pytest.fixture(scope="module")
+def city_cells(spark):
+    polys = spark.createDataFrame(
+        [(p["feature_id"], p["category"],
+          [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
+         for p in city_polygons()],
+        POLY_SCHEMA,
+    )
+    cells = rasterize_polygons(polys, LAT0, LON0, SPAN_G, N)
+    return cells.toPandas().sort_values(["feature_id", "cy", "cx"])
+
+
+def _pip_even_odd(lat, lon, rings):
+    """Independent scalar crossing-number reference."""
+    inside = False
+    for r in rings:
+        la, lo = r["lat"], r["lon"]
+        for i in range(len(la) - 1):
+            y1, x1, y2, x2 = la[i], lo[i], la[i + 1], lo[i + 1]
+            if (y1 > lat) != (y2 > lat):
+                xc = x1 + (x2 - x1) * (lat - y1) / (y2 - y1)
+                if xc > lon:
+                    inside = not inside
+    return inside
+
+
+def test_rasterize_matches_scalar_pip(city_cells):
+    s = SPAN_G // N
+    got = {(int(r.feature_id), int(r.cx), int(r.cy))
+           for r in city_cells.itertuples()}
+    want = set()
+    for p in city_polygons():
+        for cy in range(N):
+            for cx in range(N):
+                lat = LAT0 + cy * s + s // 2
+                lon = LON0 + cx * s + s // 2
+                if _pip_even_odd(lat, lon, p["rings"]):
+                    want.add((p["feature_id"], cx, cy))
+    assert got == want
+    assert len(got) > 100  # non-trivial fill
+
+
+def test_rasterize_boundary_counts(city_cells):
+    # n_nb < 4 exactly on cells whose 4-neighborhood is not fully filled
+    by_fid = {}
+    for r in city_cells.itertuples():
+        by_fid.setdefault(int(r.feature_id), set()).add((int(r.cx), int(r.cy)))
+    for r in city_cells.itertuples():
+        cset = by_fid[int(r.feature_id)]
+        x, y = int(r.cx), int(r.cy)
+        expect = sum((x + dx, y + dy) in cset
+                     for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)))
+        assert int(r.n_nb) == expect
+
+
+def test_rasterize_category_carried(city_cells):
+    cats = dict(city_cells.groupby("feature_id")["category"].first())
+    for p in city_polygons():
+        if p["feature_id"] in cats:
+            assert cats[p["feature_id"]] == p["category"]
+
+
+# ------------------------------------------------------------- roundtrip
+
+def test_vectorize_roundtrip_exact(spark, city_cells):
+    """raster → vector → raster is the identity on the cell table."""
+    cells_df = spark.createDataFrame(
+        city_cells[["feature_id", "category", "cx", "cy", "n_nb"]])
+    rings = vectorize_cells(cells_df, LAT0, LON0, SPAN_G, N)
+    pdf = rings.toPandas()
+    # city 2 has a park hole: its traced output must include a CW ring
+    assert (pdf[pdf.feature_id == 2]["role"] == 1).any()
+
+    # reassemble traced rings into the polys schema and re-rasterize
+    polys2 = (rings
+              .groupBy("feature_id")
+              .agg(F.collect_list(
+                  F.struct("role", "lat", "lon")).alias("rings"))
+              .withColumn("category", F.lit(0).cast("int")))
+    cells2 = rasterize_polygons(
+        polys2.select("feature_id", "category", "rings"),
+        LAT0, LON0, SPAN_G, N)
+    got2 = {(int(r.feature_id), int(r.cx), int(r.cy))
+            for r in cells2.select("feature_id", "cx", "cy")
+            .toPandas().itertuples()}
+    got1 = {(int(r.feature_id), int(r.cx), int(r.cy))
+            for r in city_cells.itertuples()}
+    assert got2 == got1
