@@ -240,6 +240,27 @@ def main():
         must_contain=("PushedFilters",),
     )
 
+    # 6. raster fill: JVM-generated grid + broadcast PIP, no cartesian
+    from osm_spark.operators import raster as RZ
+
+    rz = RZ.rasterize_polygons(FX.polygons_df(spark, 5).limit(5),
+                               FX.LAT0, FX.LON0, FX.SPAN, 128)
+    plan_rz = fmt(rz)
+    checks.append(("Raster fill (vector->raster)", "Range",
+                   "Range" in plan_rz))
+    checks.append(("Raster fill (vector->raster)", "no CartesianProduct",
+                   "CartesianProduct" not in plan_rz))
+    sections.append(
+        "## Raster fill — vector → cell grid\n\n"
+        "The grid is one JVM `Range` (never materialized to storage, "
+        "splits generated per-task); the fill is the broadcast PIP "
+        "`MapInPandas` — so rasterizing an n×n grid against a layer "
+        "costs one codegen'd scan of n² synthetic rows, no cartesian "
+        "grid×polygon join.  The only exchanges belong to the 4-neighbor "
+        "boundary count (an equi-join + groupBy on cell keys), which "
+        "runs on the filled subset, not the full grid.\n\n"
+        f"```\n{plan_rz.strip()}\n```\n")
+
     md = ["# Physical plans — scale-design review\n",
           "Captured by tools/explain_plans.py; the properties asserted "
           "below are checked on every run.\n"]
