@@ -61,12 +61,19 @@ def iter_warc_index(path: str):
         # production path: offsets from the accompanying cdx side file
         # (what Common Crawl publishes) — no inflation at all
         compressed = path.endswith(".gz")
+        entries = []
         with open(cdx) as f:
             for line in f:
                 parts = line.split()
                 if len(parts) >= 2:
-                    yield int(parts[0]), int(parts[1]), compressed
-        return
+                    entries.append((int(parts[0]), int(parts[1]), compressed))
+        if entries or os.path.getsize(path) == 0:
+            yield from entries
+            return
+        # an empty side file next to a non-empty warc is a partial
+        # write (landing dirs write the warc first): distrust it and
+        # fall through to the walking index rather than silently
+        # dropping every record
     if path.endswith(".gz"):
         # no side file: one streaming inflate over the file to find
         # member boundaries — chunk-fed (never the whole tail at once,
@@ -117,7 +124,8 @@ def warc_index(spark: SparkSession, path: str) -> DataFrame:
     read DISTRIBUTED (Spark csv scan — the driver never materializes
     it); the walked fallback ships via one Arrow batch."""
     cdx = path + ".cdx"
-    if os.path.exists(cdx):
+    if os.path.exists(cdx) and (os.path.getsize(cdx) > 0
+                                or os.path.getsize(path) == 0):
         return (spark.read
                 .csv(cdx, sep=" ", schema="offset long, size long")
                 .withColumn("compressed",

@@ -155,3 +155,77 @@ def test_warc_chain_staged_resume(spark, tmp_path):
                 if not r.get("resumed")}
     assert by_stage["pip"]["inputs"] == ["geocode"]
     assert by_stage["decode"]["rows"] == len(WF.expected_pages())
+
+
+def test_stream_spatial_join_tile_counts_match_batch(spark, tmp_path):
+    """The continuous north-star pipeline: streaming WARC ingestion →
+    text → geocode → broadcast PIP join → per-feature counts, plus
+    page_tiles → per-tile counts — every stage a pure expression or
+    the same broadcast ``mapInPandas`` the batch path uses, so the
+    whole chain runs unchanged under Structured Streaming.  Both
+    streaming aggregates must equal their batch twins."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.geocode import geocode_pages
+    from osm_spark.operators.spatial_join import spatial_join
+    from osm_spark.operators.tiles import page_tiles
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    paths = []
+    for k in range(2):
+        p = str(land / f"crawl{k}.warc.gz")
+        WF.write_sample(p)
+        walked = list(warc.iter_warc_index(p))  # before the cdx exists
+        with open(p + ".cdx", "w") as f:
+            for off, size, _c in walked:
+                f.write(f"{off} {size}\n")
+        paths.append(p)
+    polys = spark.createDataFrame(
+        [(p["feature_id"], p["category"], p["layer"],
+          [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
+         for p in FX.city_polygons()], FX.POLYGON_SCHEMA)
+
+    def chain(pages):
+        geo = geocode_pages(pages.select("url"))
+        feat = (spatial_join(geo, polys, how="inner")
+                .groupBy("feature_id").count())
+        tile = (page_tiles(geo, zooms=(12,))
+                .groupBy("z", "x", "y").count())
+        return feat, tile
+
+    feat_s, tile_s = chain(warc.stream_warc_pages(spark, str(land)))
+    assert feat_s.isStreaming and tile_s.isStreaming
+    qs = []
+    for name, df in (("feat_stream", feat_s), ("tile_stream", tile_s)):
+        qs.append(df.writeStream.format("memory").queryName(name)
+                  .outputMode("complete").trigger(availableNow=True)
+                  .option("checkpointLocation", str(tmp_path / ("ck_" + name)))
+                  .start())
+    for q in qs:
+        q.awaitTermination(180)
+
+    batch_pages = warc.read_warc_pages(spark, paths[0]).unionByName(
+        warc.read_warc_pages(spark, paths[1]))
+    feat_b, tile_b = chain(batch_pages)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(spark.sql("SELECT * FROM feat_stream")) == rows(feat_b)
+    got_tiles = rows(spark.sql("SELECT * FROM tile_stream"))
+    assert got_tiles == rows(tile_b)
+    assert len(got_tiles) > 0 and sum(r[-1] for r in got_tiles) == \
+        2 * len(WF.expected_pages())
+
+
+def test_empty_cdx_side_file_distrusted(spark, tmp_path):
+    """An empty .cdx next to a non-empty warc is a partial landing-dir
+    write: both index paths must fall back to walking instead of
+    silently yielding zero records."""
+    p = str(tmp_path / "part.warc.gz")
+    WF.write_sample(p)
+    open(p + ".cdx", "w").close()   # truncated side file
+    walked = list(warc.iter_warc_index(p))
+    assert len(walked) == 1 + 2 * WF.N_PAGES  # warcinfo + req/resp per page
+    assert warc.warc_index(spark, p).count() == len(walked)
+    assert warc.read_warc_pages(spark, p).count() > 0
