@@ -272,15 +272,24 @@ def _broadcast_join_mapper(bc, z: int, how: str):
 
 
 def suggest_salt(pages: DataFrame, z: int = DEFAULT_CELL_ZOOM - 3,
-                 max_salt: int = 64) -> int:
+                 max_salt: int = 64,
+                 sample_frac: float | None = None) -> int:
     """Salt factor from the measured cell histogram (SURVEY.md §7: hot
     cells are cities by construction; the factor is computed, not
     guessed): replicate enough that the hottest cell's share lands near
     the p95 cell.  Measure at the zoom the salt will apply to — the
-    COGROUP zoom (z-3), not the fine PIP zoom.  Clamped to
-    [1, max_salt]; AQE skew-join remains the runtime backstop."""
+    default is the COGROUP zoom (z-3); for the partitioned disk-index
+    path pass ``z=DEFAULT_CELL_ZOOM - COARSE_SHIFT`` (same value by
+    default, kept explicit so the two stay decoupled).  Clamped to
+    [1, max_salt]; AQE skew-join remains the runtime backstop.
+
+    ``sample_frac`` estimates the histogram from a deterministic
+    sample — the max/p95 RATIO is scale-free, so at 10^12 pages a
+    1e-4 sample gives the same factor for a fraction of the scan."""
     import math
 
+    if sample_frac is not None:
+        pages = pages.sample(fraction=sample_frac, seed=7)
     counts = with_cell(pages, z).groupBy("cx", "cy").count()
     row = counts.agg(
         F.max("count").alias("mx"),

@@ -236,7 +236,14 @@ def stream_warc_pages(spark: SparkSession, landing_dir: str) -> DataFrame:
     tracking for free) and decodes each batch's members with the same
     span-read kernel as the batch reader.  Returns the streaming pages
     DataFrame (url, warc_ts, html) — compose with watermarks /
-    extract_text_col / writeStream downstream."""
+    extract_text_col / writeStream downstream.
+
+    Landing contract: write the warc FIRST, then the cdx, and create
+    the cdx atomically (write to a temp name + rename).  Spark's file
+    source snapshots a file once at first sight — a cdx that appears
+    empty and is filled in place would pin that file's index at zero
+    rows forever (the batch reader, by contrast, re-walks on an empty
+    side file; see iter_warc_index)."""
     from urllib.parse import unquote, urlparse
 
     idx = (spark.readStream

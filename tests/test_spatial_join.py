@@ -207,3 +207,19 @@ def test_suggest_salt_detects_hot_cells(spark):
         spark.range(4000).withColumnRenamed("id", "doc_id"), "doc_id")
     s_u = suggest_salt(uniform.select("doc_id", "lat", "lon"))
     assert s_u <= max(2, s)  # hash-uniform layout needs (almost) no salt
+
+
+def test_suggest_salt_sampled_matches_full(spark):
+    """The max/p95 ratio is scale-free: a deterministic sample gives
+    (nearly) the same factor as the full histogram — the 10^12-page
+    estimation path."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.geocode import geocode_pages
+    from osm_spark.operators.spatial_join import suggest_salt
+
+    pages = geocode_pages(FX.pages_df(spark, 20000)).select(
+        "page_id", "lat", "lon")
+    full = suggest_salt(pages)
+    sampled = suggest_salt(pages, sample_frac=0.25)
+    assert sampled > 1
+    assert abs(sampled - full) <= max(2, full // 2)
