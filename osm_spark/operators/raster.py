@@ -172,3 +172,65 @@ def vectorize_cells(cells: DataFrame, lat0: int, lon0: int, span: int,
 
     return (cells.select("feature_id", "cx", "cy")
             .groupBy("feature_id").applyInPandas(fn, RING_SCHEMA))
+
+
+# paint-key packing bounds: per-feature raster area < 2^24 cells
+# (grid up to 4096x4096), feature_id < 2^24, layer in [-128, 127],
+# group rank < 2^15 -- 63 bits total, pure int64 (oracle-exact).
+AREA_CAP = 1 << 24
+FID_CAP = 1 << 24
+
+
+def composite_cells(cells: DataFrame,
+                    group_rank: dict[int, int] | None = None) -> DataFrame:
+    """Painter's-order raster compositing: ONE winning (feature_id,
+    category) per cell when filled features overlap.
+
+    The reference renderer paints surfaces in ascending
+    (group, layer, -area, sequence) order -- a chain of stable sorts
+    ending with ``order_by_group`` (osm/lib/osm_display.ml:908-915),
+    with area as the secondary key so LARGER features are painted
+    FIRST and smaller ones land on top.  The last-painted feature owns
+    the pixel, so the winner per cell is simply the max of that sort
+    key -- no imperative painting needed:
+
+    - group: rank from ``group_rank[category]`` (the renderer's
+      ``SP.add_group`` registration order; unmapped categories rank 0);
+    - layer: the OSM layer tag (``layer`` column; defaults to 0);
+    - area: per-feature filled-cell count, the integer twin of the
+      renderer's float polygon area (osm_display.ml:617-621) --
+      computed from the cell table itself, DESCENDING in paint order;
+    - feature_id: the total-order tiebreak (``SP.order_totally``).
+
+    All four pack into one int64 paint key (bounds above), so the
+    whole operator is two hash aggregations and one broadcast-sized
+    join -- map-side partial aggregation on both groupBys, no
+    cartesian, no Python workers.  Input: (feature_id, category, cx,
+    cy [, layer]) filled cells; output one row per distinct (cx, cy).
+    """
+    has_layer = "layer" in cells.columns
+    lay = (F.col("layer").cast("long") if has_layer else F.lit(0)) + 128
+    if group_rank:
+        items = [x for c, g in sorted(group_rank.items())
+                 for x in (F.lit(int(c)), F.lit(int(g)))]
+        grp = F.coalesce(F.element_at(F.create_map(*items),
+                                      F.col("category").cast("int")),
+                         F.lit(0)).cast("long")
+    else:
+        grp = F.lit(0).cast("long")
+    area = (cells.groupBy("feature_id")
+            .agg(F.count("*").alias("area_cells")))
+    keyed = cells.join(area, "feature_id").select(
+        "feature_id", "category", "cx", "cy",
+        (((grp * 256 + lay) * AREA_CAP
+          + (AREA_CAP - 1 - F.col("area_cells"))) * FID_CAP
+         + F.col("feature_id")).alias("paint_key"))
+    win = keyed.groupBy("cx", "cy").agg(
+        F.max_by(F.struct("feature_id", "category"),
+                 F.col("paint_key")).alias("w"),
+        F.count("*").alias("n_painted"))
+    return win.select(
+        "cx", "cy",
+        F.col("w.feature_id").alias("feature_id"),
+        F.col("w.category").alias("category"),
+        F.col("n_painted").cast("int").alias("n_painted"))

@@ -162,3 +162,105 @@ def test_vectorize_roundtrip_exact(spark, city_cells):
     got1 = {(int(r.feature_id), int(r.cx), int(r.cy))
             for r in city_cells.itertuples()}
     assert got2 == got1
+
+
+# ----------------------------------------------------------- compositing
+
+def _paint_reference(rows, group_rank=None):
+    """Brute-force painter: sort ascending by (group, layer, -area,
+    feature_id) -- the renderer's stable-sort chain
+    (osm/lib/osm_display.ml:908-915) -- and paint each feature's cells
+    in order; the last write per cell wins."""
+    by_fid = {}
+    for fid, cat, lay, cx, cy in rows:
+        by_fid.setdefault(fid, (cat, lay, []))[2].append((cx, cy))
+    feats = sorted(
+        ((((group_rank or {}).get(cat, 0)), lay, -len(cells), fid, cat, cells)
+         for fid, (cat, lay, cells) in by_fid.items()))
+    grid = {}
+    for g, lay, na, fid, cat, cells in feats:
+        for c in cells:
+            grid[c] = (fid, cat)
+    return grid
+
+
+def _composite_rows(spark, rows, group_rank=None, with_layer=True):
+    from osm_spark.operators.raster import composite_cells
+    cols = "feature_id long, category int, layer int, cx long, cy long" \
+        if with_layer else "feature_id long, category int, cx long, cy long"
+    data = rows if with_layer else [(f, c, x, y) for f, c, _, x, y in rows]
+    df = spark.createDataFrame(data, cols)
+    out = composite_cells(df, group_rank=group_rank).toPandas()
+    return {(int(r.cx), int(r.cy)): (int(r.feature_id), int(r.category))
+            for r in out.itertuples()}, out
+
+
+def _block(fid, cat, lay, x0, y0, w, h):
+    return [(fid, cat, lay, x, y)
+            for x in range(x0, x0 + w) for y in range(y0, y0 + h)]
+
+
+def test_composite_smaller_on_top(spark):
+    """Same group/layer: the smaller feature is painted later and wins
+    the overlap; big feature keeps its non-overlapped cells."""
+    spark_ = spark
+    rows = _block(1, 10, 0, 0, 0, 8, 8) + _block(2, 11, 0, 3, 3, 2, 2)
+    got, out = _composite_rows(spark_, rows)
+    assert got == _paint_reference(rows)
+    assert got[(3, 3)] == (2, 11) and got[(0, 0)] == (1, 10)
+    # overlap cells report both painters
+    n = {(int(r.cx), int(r.cy)): int(r.n_painted) for r in out.itertuples()}
+    assert n[(3, 3)] == 2 and n[(0, 0)] == 1
+
+
+def test_composite_layer_beats_area(spark):
+    """A HIGHER layer wins even when larger (layer outranks area)."""
+    spark_ = spark
+    rows = _block(1, 10, 1, 0, 0, 6, 6) + _block(2, 11, 0, 2, 2, 2, 2)
+    got, _ = _composite_rows(spark_, rows)
+    assert got == _paint_reference(rows)
+    assert got[(2, 2)] == (1, 10)  # bigger but layer=1 > 0
+
+
+def test_composite_group_outranks_layer(spark):
+    """Group rank is the primary key (order_by_group applied last)."""
+    spark_ = spark
+    gr = {10: 0, 11: 1}  # category 11's group paints later
+    rows = _block(1, 11, -3, 0, 0, 6, 6) + _block(2, 10, 5, 1, 1, 2, 2)
+    got, _ = _composite_rows(spark_, rows, group_rank=gr)
+    assert got == _paint_reference(rows, gr)
+    assert got[(1, 1)] == (1, 11)  # low layer, but later group
+
+
+def test_composite_feature_id_tiebreak_and_no_layer_col(spark):
+    """Equal (group, layer, area): the later feature (total order) wins;
+    a missing layer column defaults to layer 0."""
+    spark_ = spark
+    rows = _block(7, 1, 0, 0, 0, 2, 2) + _block(9, 2, 0, 1, 0, 2, 2)
+    got, _ = _composite_rows(spark_, rows, with_layer=False)
+    assert got == _paint_reference(rows)
+    assert got[(1, 0)] == (9, 2) and got[(1, 1)] == (9, 2)
+
+
+def test_composite_over_rasterized_overlap(spark):
+    """End-to-end: two overlapping vector squares through
+    rasterize_polygons -> composite_cells."""
+    from osm_spark.operators.raster import composite_cells
+    s = SPAN_G // N
+
+    def square(fid, cat, cx0, cy0, w):
+        la = [LAT0 + cy0 * s, LAT0 + cy0 * s, LAT0 + (cy0 + w) * s,
+              LAT0 + (cy0 + w) * s, LAT0 + cy0 * s]
+        lo = [LON0 + cx0 * s, LON0 + (cx0 + w) * s, LON0 + (cx0 + w) * s,
+              LON0 + cx0 * s, LON0 + cx0 * s]
+        return (fid, cat, [(0, la, lo)])
+
+    polys = spark.createDataFrame(
+        [square(1, 10, 10, 10, 40), square(2, 20, 30, 30, 10)], POLY_SCHEMA)
+    cells = rasterize_polygons(polys, LAT0, LON0, SPAN_G, N)
+    win = composite_cells(cells).toPandas()
+    w = {(int(r.cx), int(r.cy)): int(r.feature_id) for r in win.itertuples()}
+    # interior of the small square wins fid 2; outside it, fid 1
+    assert w[(35, 35)] == 2 and w[(15, 15)] == 1
+    # every filled cell got exactly one winner
+    assert len(win) == cells.select("cx", "cy").distinct().count()
