@@ -264,3 +264,22 @@ def test_composite_over_rasterized_overlap(spark):
     assert w[(35, 35)] == 2 and w[(15, 15)] == 1
     # every filled cell got exactly one winner
     assert len(win) == cells.select("cx", "cy").distinct().count()
+
+
+def test_composite_randomized_differential(spark):
+    """40 seeded random overlapping rectangles with random layers,
+    groups and duplicate-prone sizes vs the brute-force painter —
+    covers every key component interaction in one job."""
+    rng = np.random.default_rng(7)
+    gr = {c: int(g) for c, g in enumerate(rng.integers(0, 3, 8))}
+    rows = []
+    for fid in range(40):
+        cat = int(rng.integers(0, 8))
+        lay = int(rng.integers(-2, 3))
+        x0, y0 = rng.integers(0, 12, 2)
+        w, h = rng.integers(1, 7, 2)
+        rows += _block(fid, cat, lay, int(x0), int(y0), int(w), int(h))
+    got, out = _composite_rows(spark, rows, group_rank=gr)
+    assert got == _paint_reference(rows, gr)
+    # n_painted sums to the total painted-cell multiset size
+    assert int(out["n_painted"].sum()) == len(rows)

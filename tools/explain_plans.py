@@ -261,6 +261,25 @@ def main():
         "runs on the filled subset, not the full grid.\n\n"
         f"```\n{plan_rz.strip()}\n```\n")
 
+    # 7. raster compositing: two partial-agg hash aggregations, no cartesian
+    comp = RZ.composite_cells(rz)
+    plan_comp = fmt(comp)
+    checks.append(("Raster compositing (painter's order)", "no CartesianProduct",
+                   "CartesianProduct" not in plan_comp))
+    checks.append(("Raster compositing (painter's order)", "partial max_by",
+                   plan_comp.count("max_by") >= 2))  # partial + final agg
+    sections.append(
+        "## Raster compositing — painter's-order per-cell winner\n\n"
+        "The renderer's paint order (group, layer, -area, seq) packs "
+        "into one int64 key, so the winner is a single `max_by` hash "
+        "aggregation on (cx, cy) — partial map-side combine before the "
+        "exchange (the `partial_max_by` operator in the plan), so the "
+        "shuffle carries at most one row per (cell, map task), not one "
+        "per painted layer.  The per-feature area is a count aggregation "
+        "joined back; with features ≪ cells AQE turns it into a "
+        "broadcast join.  No cartesian, no Python workers.\n\n"
+        f"```\n{plan_comp.strip()}\n```\n")
+
     md = ["# Physical plans — scale-design review\n",
           "Captured by tools/explain_plans.py; the properties asserted "
           "below are checked on every run.\n"]
