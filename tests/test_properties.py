@@ -118,3 +118,35 @@ def test_douglas_peucker_endpoints_and_eps(pts, eps):
         for m in range(a + 1, b):
             assert dist2(int(xs[m]), int(ys[m]), int(xs[a]), int(ys[a]),
                          int(xs[b]), int(ys[b])) <= eps * eps, (a, b, m)
+
+
+# ------------------------------------------------------ raster tracing
+
+def _even_odd_fill(rings, x, y):
+    """Crossing-number of cell center (x+.5, y+.5) against unit-edge
+    rings — centers never lie on integer-corner edges, so no ties."""
+    cx, cy = x + 0.5, y + 0.5
+    inside = False
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            if (ay > cy) != (by > cy):
+                t = (cy - ay) / (by - ay)
+                if ax + t * (bx - ax) > cx:
+                    inside = not inside
+    return inside
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+               min_size=1, max_size=40))
+def test_trace_rings_even_odd_roundtrip(cells):
+    """Marching-squares tracing is exact: the even-odd fill of the
+    traced rings reproduces ANY cell set — including diagonal pinches,
+    holes, and multiple components (osm_spark/operators/raster.py)."""
+    from osm_spark.operators.raster import _trace_rings
+    rings = _trace_rings(set(cells))
+    for r in rings:
+        assert r[0] == r[-1]          # closed
+    filled = {(x, y) for x in range(9) for y in range(9)
+              if _even_odd_fill(rings, x, y)}
+    assert filled == set(cells)
