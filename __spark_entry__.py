@@ -363,14 +363,17 @@ def q_mm_media(spark, sf):
 
 
 def q_g_raster_roundtrip(spark, sf):
-    """Raster↔vector roundtrip over the 5 city polygons: rasterize on a
-    128×128 integer grid, marching-squares vectorize the cell table back
-    to boundary rings, re-rasterize the traced rings, and return the
-    final cell table.  The oracle computes only the FIRST rasterization
-    (grid-center PIP + 4-neighbor counts in plain int64 SQL) — the
-    roundtrip is the identity on the cell set, so any tracing or
-    re-fill defect breaks the hash.  Reference analog: integer scanline
-    polygon fill in the renderer (osm/lib/osm_display.ml)."""
+    """Raster↔vector roundtrip + painter's-order compositing over the 5
+    city polygons: rasterize on a 128×128 integer grid, marching-squares
+    vectorize the cell table back to boundary rings, re-rasterize the
+    traced rings, then composite the result against a shifted-overlap
+    copy and attach each base cell's winner.  The oracle computes only
+    the FIRST rasterization (grid-center PIP + 4-neighbor counts in
+    plain int64 SQL) plus the same int64 paint-key argmax — the
+    roundtrip is the identity on the cell set, so any tracing, re-fill,
+    or paint-ordering defect breaks the hash.  Reference analogs:
+    integer scanline fill + surface paint order
+    (osm/lib/osm_display.ml:908-915)."""
     polys = spark.createDataFrame(
         [(p["feature_id"], p["category"],
           [(r["role"], r["lat"], r["lon"]) for r in p["rings"]])
@@ -387,8 +390,25 @@ def q_g_raster_roundtrip(spark, sf):
     cells2 = RZ.rasterize_polygons(
         polys2.select("feature_id", "category", "rings"),
         FX.LAT0, FX.LON0, FX.SPAN, n)
-    return cells2.select("feature_id", "cx", "cy",
-                         F.col("n_nb").cast("int").alias("n_nb"))
+    # painter's-order compositing leg: overlap the roundtripped cells
+    # with a copy shifted +8 cells in cx (feature_id+100, category 1) —
+    # equal areas, so the overlap winner is the total-order tiebreak
+    # (the shifted copy).  Each base cell reports its per-cell winner.
+    base_c = cells2.select("feature_id",
+                           F.lit(0).cast("int").alias("category"),
+                           "cx", "cy")
+    shift_c = cells2.select(
+        (F.col("feature_id") + 100).alias("feature_id"),
+        F.lit(1).cast("int").alias("category"),
+        (F.col("cx") + 8).alias("cx"), "cy")
+    win = RZ.composite_cells(base_c.unionByName(shift_c))
+    return (cells2.select("feature_id", "cx", "cy",
+                          F.col("n_nb").cast("int").alias("n_nb"))
+            .join(win.select("cx", "cy",
+                             F.col("feature_id").alias("win_fid"),
+                             F.col("category").alias("win_cat"),
+                             "n_painted"),
+                  ["cx", "cy"]))
 
 
 # DSL exercising Any + Not + key-default + unknown-value paths
@@ -1195,9 +1215,12 @@ p_ AS (SELECT doc_id, size,
 def _raster_oracle_sql(n: int = 128) -> str:
     """First-rasterization twin of q_g_raster_roundtrip: grid-center PIP
     against the city polygon edges (the shared crossing-number chain)
-    plus a 4-neighbor presence count — exact int64 arithmetic end to
-    end.  The Spark query returns the roundtripped cell table, which
-    must equal this by the roundtrip-identity property."""
+    plus a 4-neighbor presence count, plus the compositing leg — the
+    shifted-overlap union and the identical int64 paint-key
+    ((group*256+layer+128)*2^24 + (2^24-1-area))*2^24 + fid argmax —
+    exact int64 arithmetic end to end.  The Spark query returns the
+    roundtripped cell table with per-cell winners, which must equal
+    this by the roundtrip-identity property."""
     s = FX.SPAN // n
     return f"""
         WITH grid AS (
@@ -1213,10 +1236,30 @@ def _raster_oracle_sql(n: int = 128) -> str:
           FROM filled f LEFT JOIN filled g
             ON g.feature_id = f.feature_id
            AND abs(g.cx - f.cx) + abs(g.cy - f.cy) = 1
-          GROUP BY 1, 2, 3)
-        SELECT CAST(feature_id AS BIGINT) AS feature_id,
-               CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, n_nb
-        FROM nb"""
+          GROUP BY 1, 2, 3),
+        allc AS (
+          SELECT feature_id, 0 AS category, cx, cy FROM filled
+          UNION ALL
+          SELECT feature_id + 100, 1, cx + 8, cy FROM filled),
+        area AS (SELECT feature_id, count(*) AS a FROM allc GROUP BY 1),
+        keyed AS (
+          SELECT c.cx, c.cy, c.feature_id, c.category,
+                 (128 * CAST(16777216 AS BIGINT) + (16777215 - r.a))
+                   * 16777216 + c.feature_id AS pk
+          FROM allc c JOIN area r USING (feature_id)),
+        win AS (
+          SELECT cx, cy,
+                 arg_max(feature_id, pk) AS win_fid,
+                 arg_max(category, pk) AS win_cat,
+                 CAST(count(*) AS INT) AS n_painted
+          FROM keyed GROUP BY 1, 2)
+        SELECT CAST(nb.feature_id AS BIGINT) AS feature_id,
+               CAST(nb.cx AS BIGINT) AS cx, CAST(nb.cy AS BIGINT) AS cy,
+               nb.n_nb,
+               CAST(w.win_fid AS BIGINT) AS win_fid,
+               CAST(w.win_cat AS INT) AS win_cat,
+               w.n_painted
+        FROM nb JOIN win w ON w.cx = nb.cx AND w.cy = nb.cy"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
