@@ -206,7 +206,10 @@ def composite_cells(cells: DataFrame,
     whole operator is two hash aggregations and one broadcast-sized
     join -- map-side partial aggregation on both groupBys, no
     cartesian, no Python workers.  Input: (feature_id, category, cx,
-    cy [, layer]) filled cells; output one row per distinct (cx, cy).
+    cy [, layer]) filled cells, distinct per (feature_id, cx, cy) --
+    ``rasterize_polygons`` output satisfies this; duplicate rows would
+    inflate both the area key and ``n_painted``.  Output one row per
+    distinct (cx, cy).
     """
     has_layer = "layer" in cells.columns
     lay = (F.col("layer").cast("long") if has_layer else F.lit(0)) + 128
