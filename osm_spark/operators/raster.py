@@ -176,9 +176,11 @@ def vectorize_cells(cells: DataFrame, lat0: int, lon0: int, span: int,
 
 # paint-key packing bounds: per-feature raster area < 2^24 cells
 # (grid up to 4096x4096), feature_id < 2^24, layer in [-128, 127],
-# group rank < 2^15 -- 63 bits total, pure int64 (oracle-exact).
+# group rank < 2^7 -- (7+8)+24+24 = 63 bits, pure int64
+# (oracle-exact; rank 128 would push (rank*256+255)*2^48 past 2^63).
 AREA_CAP = 1 << 24
 FID_CAP = 1 << 24
+MAX_GROUP_RANK = 127
 
 
 def composite_cells(cells: DataFrame,
@@ -212,8 +214,15 @@ def composite_cells(cells: DataFrame,
     distinct (cx, cy).
     """
     has_layer = "layer" in cells.columns
-    lay = (F.col("layer").cast("long") if has_layer else F.lit(0)) + 128
+    lay = (F.coalesce(F.col("layer").cast("long"), F.lit(0))
+           if has_layer else F.lit(0)) + 128
     if group_rank:
+        bad = {c: g for c, g in group_rank.items()
+               if not 0 <= int(g) <= MAX_GROUP_RANK}
+        if bad:
+            raise ValueError(
+                f"group ranks must be in [0, {MAX_GROUP_RANK}] to fit "
+                f"the int64 paint key: {bad}")
         items = [x for c, g in sorted(group_rank.items())
                  for x in (F.lit(int(c)), F.lit(int(g)))]
         grp = F.coalesce(F.element_at(F.create_map(*items),

@@ -121,12 +121,20 @@ def _pack_polys(polys: list) -> tuple:
     for local, (fid, rings) in enumerate(polys):
         fids.append(fid)
         for role, rla, rlo in rings:
+            if len(rla) < 2:
+                # zero-edge ring: no area, and its empty reduceat
+                # segment would corrupt the neighboring ring's count
+                continue
             ring_starts.append(pos)
             ring_poly.append(local)
             ring_role.append(role)
             exi.append(rlo[:-1]); exj.append(rlo[1:])
             eyi.append(rla[:-1]); eyj.append(rla[1:])
             pos += len(rla) - 1
+    if not exi:
+        z64 = np.empty(0, np.int64)
+        return (z64, z64, z64, z64, z64, z64, z64,
+                np.asarray(fids, np.int64))
     return (
         np.concatenate(exi), np.concatenate(eyi),
         np.concatenate(exj), np.concatenate(eyj),
@@ -212,7 +220,7 @@ def _match_batch(index: dict, la: np.ndarray, lo: np.ndarray, z: int):
     """Match one point batch against a (cell -> packed polys) index:
     sort by cell key, one ``_pip_pack`` pass per occupied cell.
     Returns (point_idx, feature_id) arrays."""
-    cx = (lo + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+    cx = K.tile_x(lo, z)
     cy = K.tile_y_float(la, z)
     cell_key = (cx << 32) | cy
     order = np.argsort(cell_key, kind="stable")
@@ -318,8 +326,11 @@ BROADCAST_MAX_VERTS = 2_000_000
 # Per-worker cache of built group indexes.  Salt replicas of the same
 # coarse cell carry IDENTICAL polygon sets — whenever two replicas land
 # on the same (reused) Python worker, the second skips the rebuild
-# entirely.  FIFO-bounded; keyed by (cx, cy) + a feature-id checksum so
-# a stale entry can never match a different polygon set.
+# entirely.  FIFO-bounded; keyed by (cx, cy, z) + feature-id AND
+# geometry checksums (vertex count, wrapped coordinate sums/xors), so
+# a stale entry cannot be served for a different polygon set, a moved
+# geometry, or a different fine zoom.  The checksum costs one vertex
+# concat, reused by the build on a miss.
 _GROUP_INDEX_CACHE: dict = {}
 _GROUP_INDEX_CACHE_MAX = 32
 
@@ -345,11 +356,24 @@ def _cogroup_cell_fn(page_key: str, z: int):
                 "feature_id": pd.array([], dtype="int64"),
             })
         fid_arr = polys_pdf["feature_id"].to_numpy(np.int64)
-        ck = (int(key[0]), int(key[1]), len(fid_arr),
-              int(fid_arr.sum()), int(np.bitwise_xor.reduce(fid_arr)))
+        lat_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lat"]]
+        lon_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lon"]]
+        V_lat = (np.concatenate(lat_l) if lat_l
+                 else np.empty(0, np.int64))
+        V_lon = (np.concatenate(lon_l) if lon_l
+                 else np.empty(0, np.int64))
+        with np.errstate(over="ignore"):
+            ck = (int(key[0]), int(key[1]), z, len(fid_arr),
+                  int(fid_arr.sum()), int(np.bitwise_xor.reduce(fid_arr)),
+                  len(V_lat),
+                  int(V_lat.sum(dtype=np.int64)),
+                  int(V_lon.sum(dtype=np.int64)),
+                  int(np.bitwise_xor.reduce(V_lat)) if len(V_lat) else 0,
+                  int(np.bitwise_xor.reduce(V_lon)) if len(V_lon) else 0)
         index = _GROUP_INDEX_CACHE.get(ck)
         if index is None:
-            index = _build_group_index_packed(polys_pdf, fid_arr, z)
+            index = _build_group_index_packed(polys_pdf, fid_arr, z,
+                                              lat_l=lat_l, lon_l=lon_l)
             while len(_GROUP_INDEX_CACHE) >= _GROUP_INDEX_CACHE_MAX:
                 _GROUP_INDEX_CACHE.pop(next(iter(_GROUP_INDEX_CACHE)))
             _GROUP_INDEX_CACHE[ck] = index
@@ -366,16 +390,33 @@ def _cogroup_cell_fn(page_key: str, z: int):
 
 
 def _build_group_index_packed(polys_pdf: pd.DataFrame,
-                              fid_arr: np.ndarray, z: int) -> dict:
+                              fid_arr: np.ndarray, z: int,
+                              lat_l: list | None = None,
+                              lon_l: list | None = None) -> dict:
     """Fine-zoom cell index from the group's flat vertex arrays: one
     global concat, edge arrays via two boolean masks (drop each ring's
     last / first vertex), per-feature bboxes via reduceat, per-cell
     packs via slice-concat — no per-ring Python anywhere."""
     nf = len(fid_arr)
-    lat_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lat"]]
-    lon_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lon"]]
+    if lat_l is None:
+        lat_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lat"]]
+        lon_l = [np.asarray(v, np.int64) for v in polys_pdf["flat_lon"]]
+    else:
+        lat_l, lon_l = list(lat_l), list(lon_l)
     lens_l = [np.asarray(v, np.int64) for v in polys_pdf["lens"]]
     roles_l = [np.asarray(v, np.int64) for v in polys_pdf["roles"]]
+    # drop zero-edge rings (0- or 1-vertex): they carry no area, and
+    # their empty reduceat segments would crash on (or steal crossing
+    # counts from) neighboring rings.  Rare, so repack only when hit.
+    for f in range(nf):
+        l = lens_l[f]
+        if len(l) and (l < 2).any():
+            keep = l >= 2
+            vkeep = np.repeat(keep, l)
+            lat_l[f] = lat_l[f][vkeep]
+            lon_l[f] = lon_l[f][vkeep]
+            lens_l[f] = l[keep]
+            roles_l[f] = roles_l[f][keep]
     V_lat = np.concatenate(lat_l)
     V_lon = np.concatenate(lon_l)
     n_verts = np.fromiter((len(a) for a in lat_l), np.int64, nf)
@@ -391,18 +432,24 @@ def _build_group_index_packed(polys_pdf: pd.DataFrame,
     n_rings = np.fromiter((len(l) for l in lens_l), np.int64, nf)
     foff_e = np.concatenate(([0], np.cumsum(n_verts - n_rings)))
     ring_elens_l = [l - 1 for l in lens_l]         # edges per ring
-    # per-feature bbox (reduceat over the vertex arrays)
-    st = voff[:-1]
+    # per-feature bbox (reduceat over the vertex arrays); a feature
+    # left with no vertices registers no cells (empty segment guard)
+    if not len(V_lat):
+        return {}
+    nonempty = n_verts > 0
+    st = np.minimum(voff[:-1], len(V_lat) - 1)
     lo_min = np.minimum.reduceat(V_lon, st)
     lo_max = np.maximum.reduceat(V_lon, st)
     la_min = np.minimum.reduceat(V_lat, st)
     la_max = np.maximum.reduceat(V_lat, st)
-    cx0 = (lo_min + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
-    cx1 = (lo_max + K.LON_OFFSET) * (1 << z) // K.LON_WORLD
+    cx0 = K.tile_x(lo_min, z)
+    cx1 = K.tile_x(lo_max, z)
     cy0 = K.tile_y_float(la_max, z)
     cy1 = K.tile_y_float(la_min, z)
     per_cell: dict[tuple[int, int], list[int]] = {}
     for i in range(nf):
+        if not nonempty[i]:
+            continue
         for cx in range(int(cx0[i]), int(cx1[i]) + 1):
             for cy in range(int(cy0[i]), int(cy1[i]) + 1):
                 per_cell.setdefault((cx, cy), []).append(i)
@@ -441,12 +488,35 @@ CKEY_SCALE = 1 << 32
 COARSE_SHIFT = 3          # coarse partition cells at z - COARSE_SHIFT
 
 
-def _gkey_col(z: int):
-    """Coarse-cell partition key from the fine (cx, cy) columns."""
+def _gkey_col(shift: int = COARSE_SHIFT):
+    """Coarse-cell partition key from the fine (cx, cy) columns,
+    ``shift`` zoom levels coarser (must equal the writer's z - zc)."""
     return (
-        F.shiftright(F.col("cx"), COARSE_SHIFT).cast("long") * CKEY_SCALE
-        + F.shiftright(F.col("cy"), COARSE_SHIFT)
+        F.shiftright(F.col("cx"), shift).cast("long") * CKEY_SCALE
+        + F.shiftright(F.col("cy"), shift)
     )
+
+
+_LAYER_META = "_osm_layer_meta.json"
+
+
+def _write_layer_meta(path: str, z: int, zc: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _LAYER_META), "w") as fh:
+        json.dump({"z": z, "zc": zc}, fh)
+
+
+def _read_layer_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, _LAYER_META)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
 
 
 def write_partitioned_layer(polys: DataFrame, path: str,
@@ -471,6 +541,10 @@ def write_partitioned_layer(polys: DataFrame, path: str,
      .write.mode("overwrite")
      .option("parquet.block.size", 1 << 20)
      .parquet(path))
+    # sidecar records the key geometry so a reader at a different z
+    # fails loudly instead of silently matching nothing (on Iceberg
+    # this would be a table property)
+    _write_layer_meta(path, z, zc)
     return path
 
 
@@ -555,8 +629,17 @@ def spatial_join_partitioned(
     spark = pages.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    meta = _read_layer_meta(layer_path)
+    if meta is not None:
+        if meta["z"] != z:
+            raise ValueError(
+                f"layer at {layer_path} was written for z={meta['z']}, "
+                f"join requested z={z} — cell keys would not align")
+        shift = z - meta["zc"]
+    else:
+        shift = z - max(z - COARSE_SHIFT, 2)   # pre-meta layers
     pts = with_cell(pages.select(page_key, "lat", "lon"), z).select(
-        page_key, "lat", "lon", _gkey_col(z).alias("gkey"))
+        page_key, "lat", "lon", _gkey_col(shift).alias("gkey"))
     if pages_clustered:
         # the pages table is already spatially clustered in storage
         # (cluster_by_hilbert layout): input splits are cell-local, so

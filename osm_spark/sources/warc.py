@@ -76,28 +76,34 @@ def iter_warc_index(path: str):
         # dropping every record
     if path.endswith(".gz"):
         # no side file: one streaming inflate over the file to find
-        # member boundaries — chunk-fed (never the whole tail at once,
-        # which would be O(N^2)); output bytes are discarded
+        # member boundaries — chunk-fed from INCREMENTAL file reads
+        # (O(chunk) memory and O(N) work; never the whole file, never
+        # the whole tail); output bytes are discarded
         with open(path, "rb") as f:
-            data = f.read()
-        view = memoryview(data)
-        pos = 0
-        chunk_sz = 1 << 18
-        while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
-            p = pos
+            pos = 0              # file offset of the current member
+            carry = b""          # tail of the last read beyond member end
+            chunk_sz = 1 << 18
             while True:
-                chunk = view[p:p + chunk_sz]
-                if not chunk:
-                    raise ValueError("truncated gzip member")
-                d.decompress(chunk)
-                p += len(chunk)
-                if d.eof:
-                    p -= len(d.unused_data)
-                    break
-            yield pos, p - pos, True
-            pos = p
-        return
+                d = zlib.decompressobj(wbits=31)
+                consumed = 0     # bytes attributed to this member
+                fed = carry
+                carry = b""
+                while True:
+                    if not fed:
+                        fed = f.read(chunk_sz)
+                        if not fed:
+                            if consumed == 0:
+                                return       # clean EOF at a boundary
+                            raise ValueError("truncated gzip member")
+                    d.decompress(fed)
+                    consumed += len(fed)
+                    fed = b""
+                    if d.eof:
+                        carry = d.unused_data
+                        consumed -= len(carry)
+                        break
+                yield pos, consumed, True
+                pos += consumed
     with open(path, "rb") as f:
         off = 0
         while True:
@@ -128,6 +134,12 @@ def warc_index(spark: SparkSession, path: str) -> DataFrame:
                                 or os.path.getsize(path) == 0):
         return (spark.read
                 .csv(cdx, sep=" ", schema="offset long, size long")
+                # tokens beyond the first two are dropped by the csv
+                # reader (matching iter_warc_index's >= 2 rule); a
+                # short or non-numeric line nulls a field — drop it
+                # rather than crash the decoder on a NULL offset
+                .where(F.col("offset").isNotNull()
+                       & F.col("size").isNotNull())
                 .withColumn("compressed",
                             F.lit(path.endswith(".gz"))))
     rows = pd.DataFrame(iter_warc_index(path),
@@ -195,29 +207,26 @@ def _decode_pdf(path: str, pdf: pd.DataFrame) -> pd.DataFrame:
     with open(path, "rb") as f:
         # greedy span grouping: cut where the next record would push
         # the span past _SPAN_BYTES (records are adjacent, so spans
-        # are dense)
-        spans: dict[int, bytes] = {}
-        starts = []
+        # are dense).  Each span is parsed as soon as it is read, so
+        # raw-byte residency stays at ONE span, not the whole batch.
         s = 0
         for i in range(1, len(offs) + 1):
             if i == len(offs) or ends[i - 1] - offs[s] > _SPAN_BYTES:
                 f.seek(int(offs[s]))
-                spans[s] = f.read(int(ends[i - 1] - offs[s]))
-                starts.append((s, i))
+                buf = memoryview(f.read(int(ends[i - 1] - offs[s])))
+                base = int(offs[s])
+                for j in range(s, i):
+                    raw = bytes(buf[int(offs[j]) - base:
+                                    int(ends[j]) - base])
+                    if comp[j]:
+                        raw = zlib.decompress(raw, wbits=31)
+                    url, ts, html, rtype, status = decode_record(raw)
+                    urls.append(url)
+                    tss.append(pd.Timestamp(ts) if ts else pd.NaT)
+                    htmls.append(html)
+                    types.append(rtype)
+                    stats.append(status)
                 s = i
-    for s, e in starts:
-        buf = memoryview(spans[s])
-        base = int(offs[s])
-        for j in range(s, e):
-            raw = bytes(buf[int(offs[j]) - base:int(ends[j]) - base])
-            if comp[j]:
-                raw = zlib.decompress(raw, wbits=31)
-            url, ts, html, rtype, status = decode_record(raw)
-            urls.append(url)
-            tss.append(pd.Timestamp(ts) if ts else pd.NaT)
-            htmls.append(html)
-            types.append(rtype)
-            stats.append(status)
     ts = pd.Series(tss, dtype="datetime64[ns, UTC]") \
         .dt.tz_convert("UTC").dt.tz_localize(None)
     return pd.DataFrame({

@@ -283,3 +283,25 @@ def test_composite_randomized_differential(spark):
     assert got == _paint_reference(rows, gr)
     # n_painted sums to the total painted-cell multiset size
     assert int(out["n_painted"].sum()) == len(rows)
+
+
+def test_composite_null_layer_defaults_to_zero(spark):
+    """NULL in the layer column composites as layer 0 (the OSM layer
+    tag is usually absent), not as an ignored row."""
+    rows = [(1, 10, None, 0, 0), (1, 10, None, 1, 0),
+            (2, 11, 0, 0, 0)]
+    got, out = _composite_rows(spark, rows)
+    # fid 1 (area 2, null layer) vs fid 2 (area 1, layer 0): smaller
+    # paints later and wins cell (0,0); fid 1 keeps (1,0)
+    assert got[(0, 0)] == (2, 11) and got[(1, 0)] == (1, 10)
+    assert int(out["n_painted"].sum()) == 3
+
+
+def test_composite_group_rank_bound(spark):
+    """Rank 128 would overflow the int64 paint key — rejected."""
+    from osm_spark.operators.raster import composite_cells
+    df = spark.createDataFrame(
+        [(1, 10, 0, 0)], "feature_id long, category int, cx long, cy long")
+    with pytest.raises(ValueError, match="group ranks"):
+        composite_cells(df, group_rank={10: 128})
+    composite_cells(df, group_rank={10: 127}).collect()  # max rank OK

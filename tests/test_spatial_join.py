@@ -223,3 +223,78 @@ def test_suggest_salt_sampled_matches_full(spark):
     sampled = suggest_salt(pages, sample_frac=0.25)
     assert sampled > 1
     assert abs(sampled - full) <= max(2, full // 2)
+
+
+# ------------------------------------------------- review regressions
+
+def test_degenerate_rings_skipped(spark):
+    """0- and 1-vertex rings carry no area and must not corrupt (or
+    crash) the packed reduceat segments on either PIP path."""
+    import pandas as pd
+
+    from osm_spark.operators.spatial_join import (
+        _build_group_index_packed, _match_batch, _pack_polys, _pip_pack)
+
+    sq_la = np.array([0, 0, 10**6, 10**6, 0], np.int64)
+    sq_lo = np.array([0, 10**6, 10**6, 0, 0], np.int64)
+    pt = np.array([5 * 10**5], np.int64)
+    # broadcast path: degenerate ring LAST (the crash case) and first
+    for rings in ([(0, sq_la, sq_lo), (1, pt, pt)],
+                  [(1, pt, pt), (0, sq_la, sq_lo)],
+                  [(0, sq_la, sq_lo), (1, np.empty(0, np.int64),
+                                       np.empty(0, np.int64))]):
+        pack = _pack_polys([(7, rings)])
+        p_idx, pt_idx = _pip_pack(pack, pt, pt)
+        assert list(pack[7][p_idx]) == [7]  # inside; hole ignored
+    # all-degenerate feature: empty pack, no matches, no crash
+    pack = _pack_polys([(9, [(0, pt, pt)])])
+    assert len(_pip_pack(pack, pt, pt)[0]) == 0
+
+    # cogroup/partitioned path: same geometry through the flat builder
+    pdf = pd.DataFrame({
+        "feature_id": [7, 9],
+        "flat_lat": [np.concatenate([sq_la, pt]), pt],
+        "flat_lon": [np.concatenate([sq_lo, pt]), pt],
+        "lens": [np.array([5, 1], np.int64), np.array([1], np.int64)],
+        "roles": [np.array([0, 1], np.int64), np.array([0], np.int64)],
+    })
+    idx = _build_group_index_packed(pdf, np.array([7, 9], np.int64), 12)
+    hits, fids = _match_batch(idx, pt, pt, 12)
+    assert list(fids) == [7]
+
+
+def test_group_index_cache_keys_on_geometry_and_zoom(spark):
+    """A reused worker must NOT serve a cached index for the same
+    feature ids with moved rings or a different fine zoom."""
+    import pandas as pd
+
+    from osm_spark.operators.spatial_join import _cogroup_cell_fn
+
+    def polys_pdf(shift):
+        la = np.array([0, 0, 10**6, 10**6, 0], np.int64) + shift
+        lo = np.array([0, 10**6, 10**6, 0, 0], np.int64) + shift
+        return pd.DataFrame({
+            "feature_id": [7],
+            "flat_lat": [la], "flat_lon": [lo],
+            "lens": [np.array([5], np.int64)],
+            "roles": [np.array([0], np.int64)],
+        })
+
+    pts = pd.DataFrame({"page_id": [1],
+                        "lat": [5 * 10**5], "lon": [5 * 10**5]})
+    fn = _cogroup_cell_fn("page_id", 12)
+    key = (2048, 2048)
+    assert len(fn(key, pts, polys_pdf(0))) == 1           # inside
+    # same fids, same cell, geometry moved away: must MISS the cache
+    assert len(fn(key, pts, polys_pdf(4 * 10**6))) == 0
+
+
+def test_partitioned_layer_z_mismatch_raises(spark, tmp_path):
+    from osm_spark.operators.spatial_join import (
+        spatial_join_partitioned, write_partitioned_layer)
+
+    path = str(tmp_path / "layer")
+    write_partitioned_layer(FX.polygons_df(spark, 5).limit(3), path, z=12)
+    pages = geocode_pages(FX.pages_df(spark, 50))
+    with pytest.raises(ValueError, match="z=12"):
+        spatial_join_partitioned(pages, path, z=14)

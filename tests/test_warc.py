@@ -69,6 +69,23 @@ def test_cdx_side_file_index_equivalent(spark, tmp_path):
     assert len(texts) == len(WF.expected_pages())
 
 
+def test_cdx_extra_and_short_tokens(spark, tmp_path):
+    """cdx lines with trailing fields (digests etc.) parse like the
+    driver walker; short/garbage lines are dropped, not NULL rows that
+    crash the decoder."""
+    p = WF.write_sample(str(tmp_path / "s.warc.gz"))
+    walked = list(warc.iter_warc_index(p))
+    with open(p + ".cdx", "w") as f:
+        for off, size, _c in walked:
+            f.write(f"{off} {size} sha1:ABCDEF example.org/x\n")
+        f.write("garbage\n")
+    idx = warc.warc_index(spark, p)
+    got = sorted((r.offset, r.size) for r in idx.collect())
+    assert got == sorted((o, s) for o, s, _ in walked)
+    # end to end: decode still works through the 4-token cdx
+    assert warc.read_warc_pages(spark, p).count() == len(WF.expected_pages())
+
+
 def test_pages_full_matches_input_hint_shape(spark, warc_path):
     """read_warc_pages_full yields exactly the canonical pages schema
     (url, warc_ts, html, text, lang) from BASELINE.json's input_hint."""
