@@ -121,14 +121,16 @@ def tile_y_float(lat_fp, z):
     return y.astype(np.int64)
 
 
-def tile_y_boundaries(z, lat_min_fp, lat_max_fp):
+def tile_y_boundaries(z, lat_min_fp, lat_max_fp, pad=1):
     """Integer fixed-point latitude boundaries of tile rows covering
-    [lat_min_fp, lat_max_fp].
+    [lat_min_fp, lat_max_fp], padded by ``pad`` extra rows each way.
 
     Returns (rows, bounds): ``rows[i]`` is the tile-row id whose latitude
     range is ``(bounds[i+1], bounds[i]]`` in fixed-point (top-exclusive
     rows, integer-exact).  Used to make tile-y assignment a broadcast
-    range-join that is bit-identical across engines.
+    range-join that is bit-identical across engines; kNN certification
+    passes ``pad=radius`` so the min row height covers every row an
+    unregistered feature could hide behind.
     """
     n = 1 << int(z)
 
@@ -138,8 +140,8 @@ def tile_y_boundaries(z, lat_min_fp, lat_max_fp):
     # find row range covering the box
     k_top = int(tile_y_float(np.array([lat_max_fp]), z)[0])
     k_bot = int(tile_y_float(np.array([lat_min_fp]), z)[0])
-    k_top = max(0, k_top - 1)
-    k_bot = min(n - 1, k_bot + 1)
+    k_top = max(0, k_top - int(pad))
+    k_bot = min(n - 1, k_bot + int(pad))
     rows = list(range(k_top, k_bot + 1))
     bounds = [row_top_lat_fp(k) for k in rows] + [row_top_lat_fp(k_bot + 1)]
     return rows, bounds

@@ -14,7 +14,7 @@ the Mersenne prime 2^31-1 in exact int64 arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE = 2_147_483_647  # 2^31 - 1
@@ -39,9 +39,11 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
 
 
 def tokens(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """Distinct whitespace tokens per doc."""
+    """Distinct whitespace tokens per doc (any run of \\s splits, so
+    newline/tab-separated words do not fuse; oracle twin:
+    regexp_split_to_array(text, '\\s+'))."""
     return df.select(
-        key, F.explode(F.split(F.col(text), " ")).alias("tok")
+        key, F.explode(F.split(F.col(text), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "").distinct()
 
 

@@ -48,9 +48,16 @@ def _rank_topk(cand: DataFrame, key: str, k: int) -> DataFrame:
     )
 
 
-def cell_min_extent(cell_zoom: int, lat_min_fp: int, lat_max_fp: int) -> int:
-    """Smallest cell dimension (fp units) over the latitude range."""
-    rows, bounds = K.tile_y_boundaries(cell_zoom, lat_min_fp, lat_max_fp)
+def cell_min_extent(cell_zoom: int, lat_min_fp: int, lat_max_fp: int,
+                    pad: int = 1) -> int:
+    """Smallest cell dimension (fp units) over the latitude range,
+    padded ``pad`` rows each way.  Certification must pass
+    ``pad=radius``: the separating band between a point and the nearest
+    UNREGISTERED feature spans up to ``radius`` rows beyond the point's
+    own, and mercator rows shrink (in latitude units) toward the poles,
+    so a 1-row pad would overestimate the bound and falsely certify."""
+    rows, bounds = K.tile_y_boundaries(cell_zoom, lat_min_fp, lat_max_fp,
+                                       pad=pad)
     h = min(hi - lo for hi, lo in zip(bounds, bounds[1:]))
     w = K.LON_WORLD // (1 << cell_zoom)
     return min(h, w)
@@ -111,10 +118,23 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
                 d2 += dlon
                 if kk < d2.shape[1]:
                     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    pd2 = np.take_along_axis(d2, part, axis=1)
+                    # argpartition picks arbitrarily among distances
+                    # tied AT the k-th boundary; redo those rows with
+                    # the (dist2, feature_id) rule so every path (and
+                    # the SQL row_number oracle) agrees bit-for-bit
+                    kth = pd2.max(axis=1)
+                    tied = np.nonzero(
+                        (d2 <= kth[:, None]).sum(axis=1) > kk)[0]
+                    for r in tied:
+                        cand = np.nonzero(d2[r] <= kth[r])[0]
+                        o2 = np.lexsort((f_id[cand], d2[r][cand]))[:kk]
+                        part[r] = cand[o2]
+                        pd2[r] = d2[r][part[r]]
                 else:
                     part = np.broadcast_to(np.arange(d2.shape[1]),
                                            (e - s, d2.shape[1])).copy()
-                pd2 = np.take_along_axis(d2, part, axis=1)
+                    pd2 = np.take_along_axis(d2, part, axis=1)
                 # final (dist2, feature_id) order within the k candidates
                 ordk = np.lexsort((f_id[part], pd2), axis=1)
                 part = np.take_along_axis(part, ordk, axis=1)
@@ -167,7 +187,11 @@ def knn_join(
         <= BROADCAST_FEATURE_LIMIT
     ):
         return knn_broadcast(points, features, k, key)
-    pts = with_cell(points.select(key, "lat", "lon"), cell_zoom)
+    # pmod also folds a point at exactly +180° (cx == 2^z) onto cell 0,
+    # mirroring the feature-side wrap below — otherwise it could never
+    # match a registered cell
+    pts = with_cell(points.select(key, "lat", "lon"), cell_zoom).withColumn(
+        "cx", F.pmod(F.col("cx"), F.lit(1 << cell_zoom)))
     feats = with_cell(features.select("feature_id", "lat", "lon"), cell_zoom).select(
         "feature_id", F.col("lat").alias("flat"), F.col("lon").alias("flon"), "cx", "cy"
     )
@@ -191,7 +215,10 @@ def knn_join(
 
     # certification bound (see module docstring)
     stats = points.agg(F.min("lat"), F.max("lat")).collect()[0]
-    bound = radius * cell_min_extent(cell_zoom, int(stats[0]), int(stats[1]))
+    if stats[0] is None:          # no points: nothing to certify
+        return ranked.select(key, "feature_id", "dist2", "rank")
+    bound = radius * cell_min_extent(cell_zoom, int(stats[0]),
+                                     int(stats[1]), pad=radius)
     bound2 = bound * bound
 
     kth = ranked.groupBy(key).agg(

@@ -170,7 +170,8 @@ ringarea AS (
 
 MINHASH_TOKS_CTE = (
     "toks AS (SELECT DISTINCT doc_id, tok FROM "
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "(SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok "
+    "FROM documents) "
     "WHERE tok <> '')"
 )
 

@@ -152,12 +152,40 @@ def blob_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_blob(f, offset: int, size: int) -> bytes:
-    """Range-read one Blob message and return its inflated payload."""
+    """Range-read one Blob message and return its inflated payload.
+
+    Codecs: raw (field 1), zlib (3), lzma (4, stdlib); lz4 (6) and
+    zstd (7) only if their libraries are importable — otherwise a
+    clear error naming the codec instead of a bare KeyError."""
     f.seek(offset)
     m = fields(f.read(size))
     if 1 in m:  # raw
         return bytes(m[1][0])
-    return zlib.decompress(bytes(m[3][0]), bufsize=m[2][0])
+    raw_size = m.get(2, [16384])[0]    # optional hint, sizing only
+    if 3 in m:
+        return zlib.decompress(bytes(m[3][0]), bufsize=raw_size)
+    if 4 in m:
+        import lzma
+        return lzma.decompress(bytes(m[4][0]))
+    if 6 in m:
+        try:
+            import lz4.frame
+        except ImportError as e:
+            raise NotImplementedError(
+                "blob is lz4-compressed and the lz4 library is "
+                "not installed") from e
+        return lz4.frame.decompress(bytes(m[6][0]))
+    if 7 in m:
+        try:
+            import zstandard
+        except ImportError as e:
+            raise NotImplementedError(
+                "blob is zstd-compressed and the zstandard library "
+                "is not installed") from e
+        return zstandard.ZstdDecompressor().decompress(
+            bytes(m[7][0]), max_output_size=raw_size)
+    raise NotImplementedError(
+        f"unsupported Blob compression (fields {sorted(m)})")
 
 
 # ---------------------------------------------------------------------------
@@ -260,15 +288,19 @@ def decode_block(data: bytes) -> pd.DataFrame:
         grp = fields(grp_buf)
         for dense_buf in grp.get(2, []):           # DenseNodes
             dn = fields(dense_buf)
-            ids = np.cumsum(packed_sint64(dn[1][0]))
-            lat = np.cumsum(packed_sint64(dn[8][0]))
-            lon = np.cumsum(packed_sint64(dn[9][0]))
+            # a packed field may arrive as several key-value chunks;
+            # protobuf semantics are concatenation (same as joined()
+            # on the ways/relations path)
+            cat = lambda tag: b"".join(bytes(x) for x in dn.get(tag, ()))
+            ids = np.cumsum(packed_sint64(cat(1)))
+            lat = np.cumsum(packed_sint64(cat(8)))
+            lon = np.cumsum(packed_sint64(cat(9)))
             lat_fp = _trunc_div100(lat_off + granularity * lat)
             lon_fp = _trunc_div100(lon_off + granularity * lon)
             out.add(len(ids), kind=KIND_NODE, id=ids,
                     lat=lat_fp, lon=lon_fp)
             if 10 in dn:                            # keys_vals: k,v,...,0
-                kv = packed_uint64(dn[10][0])
+                kv = packed_uint64(cat(10))
                 zeros = np.nonzero(kv == 0)[0]
                 node_of = np.zeros(len(kv), np.int64)
                 node_of[zeros[:-1] + 1] = 1
@@ -276,10 +308,11 @@ def decode_block(data: bytes) -> pd.DataFrame:
                 nz = np.nonzero(kv)[0]
                 pairs = nz.reshape(-1, 2) if len(nz) else nz.reshape(0, 2)
                 tag_node = node_of[pairs[:, 0]]
+                sarr = np.asarray(strings, dtype=object)
                 out.add(len(pairs), kind=KIND_NODE_TAG,
                         id=ids[tag_node],
-                        key=[strings[kv[i]] for i in pairs[:, 0]],
-                        val=[strings[kv[i]] for i in pairs[:, 1]])
+                        key=list(sarr[kv[pairs[:, 0]]]),
+                        val=list(sarr[kv[pairs[:, 1]]]))
         way_bufs = grp.get(3, [])                   # Ways, batch-decoded
         if way_bufs:
             sarr = np.asarray(strings, dtype=object)

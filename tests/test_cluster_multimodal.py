@@ -206,3 +206,18 @@ def test_fake_decode_plumbing(spark):
     px2 = MM.decode_and_resize(media, 8, 6, fake=True).collect()
     assert {r.doc_id: bytes(r.pixels) for r in px} == \
            {r.doc_id: bytes(r.pixels) for r in px2}
+
+
+def test_dedup_tokens_split_on_any_whitespace(spark):
+    """Newline/tab-separated words tokenize the same as spaces, so
+    near-dup detection sees identical token sets for the two layouts."""
+    from osm_spark.operators.dedup import minhash_signatures, tokens
+
+    df = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "foo\nbar\tbaz"), (3, " foo  bar baz ")],
+        "doc_id long, text string")
+    toks = tokens(df).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in toks} == {1: 3, 2: 3, 3: 3}
+    sigs = minhash_signatures(df).collect()
+    vals = {tuple(r[1:]) for r in sigs}
+    assert len(vals) == 1  # identical signatures for all three

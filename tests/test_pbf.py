@@ -85,3 +85,43 @@ def test_load_chain_pbf_to_multipolygon(spark, tables):
     # outer ring: the 4 square corners, closed
     assert by_role[0].n_ways == 2
     assert sorted(set(by_role[0].lats))[:2] == [48_9000000, 48_9100000][:2]
+
+
+def test_dense_packed_fields_split_across_chunks():
+    """Protobuf allows a packed repeated field to arrive as SEVERAL
+    key-value chunks; the dense-node decode must concatenate them
+    (spec conformance — single-chunk writers dominate in practice)."""
+    from osm_spark.sources.pbf import KIND_NODE, KIND_NODE_TAG, decode_block
+    from osm_spark.sources.pbf_fixture import (_delta, _f_bytes, _f_packed,
+                                               _f_varint, _sid)
+
+    strings = [""]
+    k = _sid(strings, "amenity"); v = _sid(strings, "cafe")
+    ids = [10, 11, 12]
+    lats = [100, 200, 300]
+    lons = [-5, 0, 5]
+    # split every packed field into two chunks at different boundaries
+    dense = (
+        _f_packed(1, _delta(ids)[:1], zig=True)
+        + _f_packed(1, _delta(ids)[1:], zig=True)
+        + _f_packed(8, _delta(lats)[:2], zig=True)
+        + _f_packed(8, _delta(lats)[2:], zig=True)
+        + _f_packed(9, _delta(lons)[:1], zig=True)
+        + _f_packed(9, _delta(lons)[1:], zig=True)
+        # keys_vals for the 3 nodes: (k,v,0) (0) (k,v,0), split mid-node
+        + _f_packed(10, [k, v], zig=False)
+        + _f_packed(10, [0, 0, k, v, 0], zig=False)
+    )
+    group = _f_bytes(2, dense)
+    block = (_f_bytes(1, b"".join(_f_bytes(1, s.encode()) for s in strings))
+             + _f_bytes(2, group)
+             + _f_varint(17, 100))
+    pdf = decode_block(block)
+    nodes = pdf[pdf["kind"] == KIND_NODE].sort_values("id")
+    assert list(nodes["id"]) == ids
+    # transform (parser.ml:228-233): (0 + 100*raw)/100 == raw
+    assert list(nodes["lat"]) == lats
+    assert list(nodes["lon"]) == lons
+    tags = pdf[pdf["kind"] == KIND_NODE_TAG].sort_values("id")
+    assert list(tags["id"]) == [10, 12]
+    assert set(tags["key"]) == {"amenity"} and set(tags["val"]) == {"cafe"}

@@ -144,3 +144,51 @@ def test_knn_cell_path_antimeridian(spark):
     out = knn_join(pts, feats, k=1, cell_zoom=6, radius=1, key="doc_id",
                    strategy="cells", exact=False).collect()
     assert out and out[0].feature_id == 7
+
+
+# ------------------------------------------------- review regressions
+
+def test_knn_broadcast_duplicate_feature_ties(spark):
+    """Features at IDENTICAL coordinates: every path must pick the
+    lower feature_id (the (dist2, feature_id) contract), including
+    when argpartition's arbitrary boundary selection would not."""
+    from osm_spark.operators.knn import knn_broadcast
+
+    pts = spark.createDataFrame(
+        [(1, 10**6, 10**6)], "page_id long, lat long, lon long")
+    # 4 co-located features; ids deliberately unsorted on input
+    feats = spark.createDataFrame(
+        [(9, 0, 0), (3, 0, 0), (7, 0, 0), (5, 0, 0)],
+        "feature_id long, lat long, lon long")
+    got = knn_broadcast(pts, feats, k=2).orderBy("rank").collect()
+    assert [r.feature_id for r in got] == [3, 5]
+    # and a far feature cannot displace a tied near one
+    feats2 = spark.createDataFrame(
+        [(9, 0, 0), (3, 0, 0), (1, 10**7, 10**7)],
+        "feature_id long, lat long, lon long")
+    got2 = knn_broadcast(pts, feats2, k=2).orderBy("rank").collect()
+    assert [r.feature_id for r in got2] == [3, 9]
+
+
+def test_knn_join_empty_points_exact(spark):
+    """exact=True on zero points returns empty instead of crashing on
+    the NULL lat stats."""
+    pts = spark.createDataFrame([], "page_id long, lat long, lon long")
+    feats = spark.createDataFrame(
+        [(1, 0, 0)], "feature_id long, lat long, lon long")
+    out = knn_join(pts, feats, k=1, exact=True, strategy="cells",
+                   n_features=1)
+    assert out.count() == 0
+
+
+def test_knn_point_at_exact_antimeridian(spark):
+    """lon = +180 deg exactly: the point's cell wraps to column 0 and
+    still finds the feature registered across the seam."""
+    lon180 = 180 * 10**7
+    pts = spark.createDataFrame(
+        [(1, 0, lon180)], "page_id long, lat long, lon long")
+    feats = spark.createDataFrame(
+        [(42, 0, -lon180 + 10**5)], "feature_id long, lat long, lon long")
+    got = knn_join(pts, feats, k=1, exact=False, strategy="cells",
+                   n_features=1).collect()
+    assert len(got) == 1 and got[0].feature_id == 42
