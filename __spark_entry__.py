@@ -1017,7 +1017,9 @@ def _ivf_oracle_sql() -> str | None:
     ids = t["vec_id"].to_numpy(dtype="int64")
     X = np.stack([np.asarray(v, np.float64) for v in t["embedding"]])
     n_cells, nprobe, k, n_iter, sample = 8, 2, 3, 5, 2048
-    Xs = X[:sample]
+    # mirror ivf_centroids' scrambled-key sample exactly
+    scr = ((ids % SIM.SAMPLE_M) * SIM.SAMPLE_A) % SIM.SAMPLE_M
+    Xs = X[np.lexsort((ids, scr))[:sample]]
     rng = np.random.default_rng(42)
     C = Xs[rng.choice(len(Xs), size=min(n_cells, len(Xs)), replace=False)]
     for _ in range(n_iter):

@@ -37,18 +37,25 @@ def gather_members(relation_members: DataFrame, way_refs: DataFrame,
     multipolygons.ml:126-218 as three DataFrame ops.
     """
     way_geom = (
-        way_refs.join(nodes, "node")
+        # LEFT joins: a missing node or member way (clipped extract)
+        # must surface as a NULL-geometry member so the assembler marks
+        # the relation invalid — an inner join would silently skip the
+        # vertex (or drop the hole) and emit wrong geometry as valid
+        way_refs.join(nodes, "node", "left")
         .groupBy("way")
         .agg(
-            F.sort_array(F.collect_list(F.struct("seq", "lat", "lon"))).alias("vs")
+            F.sort_array(F.collect_list(F.struct("seq", "lat", "lon"))).alias("vs"),
+            (F.count("*") > F.count("lat")).alias("incomplete"),
         )
         .select(
             "way",
-            F.col("vs.lat").alias("lats"),
-            F.col("vs.lon").alias("lons"),
+            F.when(F.col("incomplete"), F.lit(None))
+             .otherwise(F.col("vs.lat")).alias("lats"),
+            F.when(F.col("incomplete"), F.lit(None))
+             .otherwise(F.col("vs.lon")).alias("lons"),
         )
     )
-    return relation_members.join(way_geom, "way").select(
+    return relation_members.join(way_geom, "way", "left").select(
         "relation", "way", "role", "lats", "lons")
 
 
@@ -96,11 +103,17 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ways = []
     rings = []
     for lats, lons in zip(pdf["lats"], pdf["lons"]):
+        if lats is None or lons is None:
+            return invalid()    # missing member way or node (see
+                                # gather_members) — incomplete relation
         la = np.asarray(lats, np.int64)
         lo = np.asarray(lons, np.int64)
         if len(la) < 2:
             return invalid()
-        if len(la) >= 3 and la[0] == la[-1] and lo[0] == lo[-1]:
+        # a closed RING needs >= 4 points (triangle + repeat); a closed
+        # 3-point way [A,B,A] is a zero-area spike and chains below to
+        # an invalid short ring instead
+        if len(la) >= 4 and la[0] == la[-1] and lo[0] == lo[-1]:
             rings.append((la, lo, 1))
         else:
             ways.append((la, lo))
@@ -138,8 +151,9 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             rev = at_end  # arriving at the way's end -> traverse reversed
         la = np.concatenate(chain_la)
         lo = np.concatenate(chain_lo)
-        if la[0] != la[-1] or lo[0] != lo[-1]:
-            return invalid()
+        if la[0] != la[-1] or lo[0] != lo[-1] or len(la) < 4:
+            return invalid()    # open chain, or a degenerate ring like
+                                # [A,A] / [A,B,A] with zero area
         rings.append((la, lo, n_ways_ring))
 
     # containment depth by PIP of a NON-boundary probe point

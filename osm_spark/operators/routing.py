@@ -59,7 +59,11 @@ DEFAULT_SPEEDS = {0: 130, 1: 110, 2: 90, 3: 70, 4: 50, 5: 30, 6: 10}
 
 
 def _hash_col(c):
-    return (F.col(c) * F.lit(HASH_A)) % F.lit(HASH_MOD)
+    # reduce mod FIRST: ids can exceed 2^33 (planet OSM), and
+    # id * HASH_A would overflow int64; (v % M) * A stays < 2^63 and
+    # ((v % M) * A) % M == (v * A) % M exactly (same documented rule
+    # as the _contract_local twin, which uses Python bignums)
+    return ((F.col(c) % F.lit(HASH_MOD)) * F.lit(HASH_A)) % F.lit(HASH_MOD)
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +90,11 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
     cat_cols = [speed_col] if speed_col else ["category"]
     w = Window.partitionBy("way_id").orderBy("seq")
     segs = (
-        way_refs.join(nodes, "node_id")
+        # LEFT join: a ref whose node is absent (clipped extract) must
+        # keep its row so lead() pairs it with its true neighbors; the
+        # coord filter below then drops BOTH its edges, breaking the
+        # chain there instead of stitching a phantom i-1 -> i+1 edge
+        way_refs.join(nodes, "node_id", "left")
         .select(
             "way_id", "seq", *cat_cols, "oneway",
             F.col("node_id").alias("src"),
@@ -95,7 +103,9 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
         .withColumn("dst", F.lead("src").over(w))
         .withColumn("dst_lat", F.lead("src_lat").over(w))
         .withColumn("dst_lon", F.lead("src_lon").over(w))
-        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+                & F.col("src_lat").isNotNull()
+                & F.col("dst_lat").isNotNull())
     )
 
     @F.pandas_udf("long")
@@ -117,7 +127,8 @@ def extract_edges(way_refs: DataFrame, nodes: DataFrame,
         .withColumn("weight", F.col("length_mm") / (F.col("speed") * 1000.0))
         .withColumn(
             "flags",
-            F.when(F.col("oneway") == 0, F.lit(BIDIR))
+            F.when(F.col("oneway").isNull()
+                   | (F.col("oneway") == 0), F.lit(BIDIR))
             .when(F.col("oneway") > 0, F.lit(FWD))
             .otherwise(F.lit(BWD)),
         )
@@ -401,7 +412,11 @@ def contract(
     rank_parts: list[DataFrame] = []     # per-round rank deltas
 
     active = (
-        edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        # self-loops never lie on a shortest path (non-negative
+        # weights) and would let _simulate_group emit shortcuts
+        # anchored at the contracted node itself — drop them up front
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("weight").alias("weight"))
         .withColumn("orig", F.lit(1))
         .withColumn("via", F.lit(None).cast("long"))
     )
@@ -581,6 +596,15 @@ def contract(
     rank_offset = (metrics[-1]["round"] + 1) if metrics else 0
 
     if finish_local and n_active > 0:
+        if n_active > 16 * local_threshold:
+            # a stalled distributed phase (dense core above
+            # MAX_SIM_DEGREE, or max_rounds hit) must not dump an
+            # unbounded residual graph on the driver
+            raise RuntimeError(
+                f"distributed contraction stalled with {n_active} active "
+                f"edges (> 16 * local_threshold={local_threshold}); raise "
+                "max_rounds/local_threshold, or pass finish_local=False "
+                "to keep the checkpoint as a resume point")
         # residual core: sequential CH on the driver (see docstring)
         t0 = time.time()
         depth_rows = {r.node: r.depth for r in depths.collect()}

@@ -19,6 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+SAMPLE_A = 2654435761          # Knuth multiplicative scramble
+SAMPLE_M = 1 << 31             # (key%M)*A < 2^63: exact in int64
+
 QUANT = 1_000_000
 
 
@@ -32,6 +35,44 @@ def _quantized_components(emb: DataFrame, key: str = "vec_id",
 
 def _norms(comp: DataFrame, key: str) -> DataFrame:
     return comp.groupBy(key).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+
+
+def _with_cosine(dots: DataFrame, norms: DataFrame, key: str,
+                 a_name: str, b_name: str) -> DataFrame:
+    """Attach the exact-arithmetic cosine to (a_name, b_name, dot) rows:
+    int64 quantized dot over int64 norms, float only at the final
+    divide.  THE single home of the module's exactness contract — every
+    top-k / near-dup variant and its oracle twin go through here."""
+    na = norms.select(F.col(key).alias(a_name), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(key).alias(b_name), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, a_name).join(nb, b_name)
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+
+
+def _pair_cosines(cand: DataFrame, comp: DataFrame, norms: DataFrame,
+                  key: str, a_name: str, b_name: str) -> DataFrame:
+    """Cosine for an explicit candidate-pair set (the scale paths:
+    LSH buckets, IVF cells) — dot products only for candidate pairs."""
+    a = comp.select(F.col(key).alias(a_name), "idx", F.col("q").alias("qa"))
+    b = comp.select(F.col(key).alias(b_name), "idx", F.col("q").alias("qb"))
+    dots = (
+        cand.join(a, [a_name]).join(b, [b_name, "idx"])
+        .groupBy(a_name, b_name)
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    return _with_cosine(dots, norms, key, a_name, b_name)
+
+
+def _topk(cos: DataFrame, k: int) -> DataFrame:
+    """(vec_id, neighbor_id, cosine) -> deterministic rank <= k."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_topk(emb: DataFrame, k: int = 3, key: str = "vec_id",
@@ -51,18 +92,7 @@ def cosine_topk(emb: DataFrame, k: int = 3, key: str = "vec_id",
         .groupBy("vec_id", "neighbor_id")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
-    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
-    cos = (
-        dots.join(na, "vec_id").join(nb, "neighbor_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(_with_cosine(dots, norms, key, "vec_id", "neighbor_id"), k)
 
 
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.95,
@@ -84,11 +114,8 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.95,
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
-    na = norms.select(F.col(key).alias("id_a"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col(key).alias("id_b"), F.col("norm2").alias("nb"))
     return (
-        dots.join(na, "id_a").join(nb, "id_b")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        _with_cosine(dots, norms, key, "id_a", "id_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -99,8 +126,18 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
                   key: str = "vec_id", col: str = "embedding") -> np.ndarray:
     """Deterministic IVF coarse quantizer: Lloyd k-means on a seeded
     sample, driver-side numpy (the training set is a sample — tiny
-    regardless of table size; assignment below is the distributed part)."""
-    rows = (emb.select(key, col).orderBy(key).limit(sample).collect())
+    regardless of table size; assignment below is the distributed part).
+
+    The sample is the top-``sample`` rows under a deterministic KEY
+    SCRAMBLE ((key mod 2^31) * 2654435761 mod 2^31 — injective on
+    key mod 2^31), not the key-ordered prefix: ids usually correlate
+    with content (ordered ingest, per-source ranges), and training on
+    a prefix would model only that slice's distribution.  A scrambled
+    top-n is a uniform-ish sample, runs as TakeOrdered (no full sort),
+    and stays reproducible in the numpy oracle twin."""
+    scramble = ((F.col(key) % F.lit(SAMPLE_M)) * F.lit(SAMPLE_A))         % F.lit(SAMPLE_M)
+    rows = (emb.select(key, col).orderBy(scramble, key)
+            .limit(sample).collect())
     X = np.array([np.asarray(r[1], np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -152,25 +189,8 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 16, nprobe: int = 2,
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    a = comp.select(F.col(key).alias("vec_id"), "idx", F.col("q").alias("qa"))
-    b = comp.select(F.col(key).alias("neighbor_id"), "idx", F.col("q").alias("qb"))
-    dots = (
-        cand.join(a, ["vec_id"]).join(b, ["neighbor_id", "idx"])
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
-    cos = (
-        dots.join(na, "vec_id").join(nb, "neighbor_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(
+        _pair_cosines(cand, comp, norms, key, "vec_id", "neighbor_id"), k)
 
 
 def lsh_planes(dim: int, n_planes: int, table: int = 0) -> list[list[int]]:
@@ -254,18 +274,8 @@ def cosine_near_dup_bucketed(emb: DataFrame, threshold: float = 0.95,
     )
     comp = _quantized_components(emb, key, col)
     norms = _norms(comp, key)
-    a = comp.select(F.col(key).alias("id_a"), "idx", F.col("q").alias("qa"))
-    b = comp.select(F.col(key).alias("id_b"), "idx", F.col("q").alias("qb"))
-    dots = (
-        cand.join(a, ["id_a"]).join(b, ["id_b", "idx"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    na = norms.select(F.col(key).alias("id_a"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col(key).alias("id_b"), F.col("norm2").alias("nb"))
     return (
-        dots.join(na, "id_a").join(nb, "id_b")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        _pair_cosines(cand, comp, norms, key, "id_a", "id_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -294,22 +304,5 @@ def lsh_topk(emb: DataFrame, k: int = 3, n_planes: int = 4, n_tables: int = 4,
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    a = comp.select(F.col(key).alias("vec_id"), "idx", F.col("q").alias("qa"))
-    b = comp.select(F.col(key).alias("neighbor_id"), "idx", F.col("q").alias("qb"))
-    dots = (
-        cand.join(a, ["vec_id"]).join(b, ["neighbor_id", "idx"])
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    na = norms.select(F.col(key).alias("vec_id"), F.col("norm2").alias("na"))
-    nb = norms.select(F.col(key).alias("neighbor_id"), F.col("norm2").alias("nb"))
-    cos = (
-        dots.join(na, "vec_id").join(nb, "neighbor_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(
+        _pair_cosines(cand, comp, norms, key, "vec_id", "neighbor_id"), k)

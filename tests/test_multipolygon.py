@@ -109,3 +109,50 @@ def test_touching_hole_shared_vertex(spark):
            MP.assemble_multipolygons(members).collect()}
     roles = sorted((r.role, r.parent) for r in out.values())
     assert roles == [(0, -1), (1, [k for k, v in out.items() if v.role == 0][0])]
+
+
+# ------------------------------------------------- review regressions
+
+def _assemble_raw(spark, members, refs, nodes):
+    m = MP.gather_members(
+        spark.createDataFrame(members, "relation long, way long, role string"),
+        spark.createDataFrame(refs, "way long, seq int, node long"),
+        spark.createDataFrame(nodes, "node long, lat long, lon long"))
+    return MP.assemble_multipolygons(m).collect()
+
+
+def test_missing_member_way_invalidates(spark):
+    """A relation whose member way is absent from way_refs must come
+    out valid=False, not as a polygon silently missing its hole."""
+    sq = [(1, i, n) for i, n in enumerate([10, 11, 12, 13, 10])]
+    rows = _assemble_raw(
+        spark,
+        [(5, 1, "outer"), (5, 2, "inner")],      # way 2 has no refs
+        sq,
+        [(10, 0, 0), (11, 0, 10**6), (12, 10**6, 10**6), (13, 10**6, 0)])
+    assert len(rows) == 1 and rows[0].valid is False
+
+
+def test_missing_node_invalidates(spark):
+    """A way with one node absent from the nodes table must invalidate
+    the relation instead of emitting a vertex-skipped ring."""
+    sq = [(1, i, n) for i, n in enumerate([10, 11, 12, 13, 10])]
+    rows = _assemble_raw(
+        spark, [(5, 1, "outer")], sq,
+        [(10, 0, 0), (11, 0, 10**6), (13, 10**6, 0)])   # node 12 missing
+    assert len(rows) == 1 and rows[0].valid is False
+
+
+def test_degenerate_two_vertex_ring_invalid(spark):
+    """[A,A] and the pair [A,B]+[B,A] chain into zero-area 'rings' and
+    must be rejected."""
+    rows = _assemble_raw(
+        spark, [(5, 1, "outer")],
+        [(1, 0, 10), (1, 1, 10)],
+        [(10, 0, 0)])
+    assert len(rows) == 1 and rows[0].valid is False
+    rows2 = _assemble_raw(
+        spark, [(6, 1, "outer"), (6, 2, "outer")],
+        [(1, 0, 10), (1, 1, 11), (2, 0, 11), (2, 1, 10)],
+        [(10, 0, 0), (11, 0, 10**6)])
+    assert len(rows2) == 1 and rows2[0].valid is False
