@@ -906,8 +906,12 @@ sig AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id)"""
 def _text_stats_sql(n_tok: str, stop: str) -> str:
     """Fused token-count / quality / language-ID twin (one SELECT per
     metric family over documents, joined on doc_id)."""
+    # normalized/padded text mirrors textops._norm_ws/_pad_ws exactly
+    pad = "(' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' ')"
+
     def cnt(w):
-        return f"((length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2})"
+        return (f"((length({pad}) - length(replace({pad}, ' {w} ', '')))"
+                f" // {len(w) + 2})")
 
     scores = {
         lg: " + ".join(cnt(w) for w in ws) for lg, ws in TX.LANG_MARKERS.items()
@@ -923,8 +927,9 @@ WITH sc AS (SELECT doc_id, {sels} FROM documents),
 b AS (SELECT doc_id, {best} AS best, * FROM sc),
 l AS (SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM b),
 q AS (SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens,
-             (length(text) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE) AS mean_tok_len,
-             CAST({stop} AS DOUBLE) / {n_tok} AS stop_ratio
+             (length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - {n_tok} + 1)
+               / CAST(nullif({n_tok}, 0) AS DOUBLE) AS mean_tok_len,
+             CAST({stop} AS DOUBLE) / nullif({n_tok}, 0) AS stop_ratio
       FROM documents)
 SELECT q.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio, l.pred_lang
 FROM q JOIN l USING (doc_id)"""
@@ -1266,9 +1271,12 @@ def _raster_oracle_sql(n: int = 128) -> str:
 
 def _oracle_sql_base() -> dict[str, str]:
     zc, zlast = OSQL.zorder_ctes_duckdb()
-    n_tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    _nrm = "trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    _pad = "(' ' || trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ')"
+    n_tok = (f"(CASE WHEN length({_nrm}) = 0 THEN 0 ELSE "
+             f"length({_nrm}) - length(replace({_nrm}, ' ', '')) + 1 END)")
     stop = " + ".join(
-        f"((length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2})"
+        f"((length({_pad}) - length(replace({_pad}, ' {w} ', ''))) // {len(w) + 2})"
         for w in ["a", "and", "of", "the"]
     )
     bands_union = " UNION ALL ".join(

@@ -220,11 +220,34 @@ def segments_intersect(x1, y1, x2, y2, x3, y3, x4, y4):
 def midpoints_in_ring(x1, y1, x2, y2, px, py):
     """PIP of segment midpoints at doubled coordinates — exact, no
     division (/root/reference/osm/geometry.ml:176-209).  The ring is
-    doubled too so the parity test stays integer."""
+    doubled too so the parity test stays integer.
+
+    Coordinates are translated to the data's bbox min first (parity
+    invariant), and if the doubled extent could still overflow the
+    int64 cross products (> ~107° of span — world-scale coastline
+    rings), the test reruns with Python-int object arrays: slower but
+    exact, where the reference's 63-bit native ints would wrap."""
     mx = np.asarray(x1, np.int64) + np.asarray(x2, np.int64)
     my = np.asarray(y1, np.int64) + np.asarray(y2, np.int64)
-    return points_in_ring(mx, my, 2 * np.asarray(px, np.int64),
-                          2 * np.asarray(py, np.int64))
+    rx = 2 * np.asarray(px, np.int64)
+    ry = 2 * np.asarray(py, np.int64)
+    bx = min(int(mx.min()), int(rx.min())) if len(mx) else 0
+    by = min(int(my.min()), int(ry.min())) if len(my) else 0
+    mx, my, rx, ry = mx - bx, my - by, rx - bx, ry - by
+    c = max((int(a.max()) if len(a) else 0) for a in (mx, my, rx, ry))
+    if 2 * c * c < (1 << 63):
+        return points_in_ring(mx, my, rx, ry)
+    # object-int fallback: same crossing rules, arbitrary precision
+    mx, my = mx.astype(object), my.astype(object)
+    rx, ry = rx.astype(object), ry.astype(object)
+    pxi, pxj = rx[:-1, None], rx[1:, None]
+    pyi, pyj = ry[:-1, None], ry[1:, None]
+    pi = pyi >= my[None, :]
+    pj = pyj >= my[None, :]
+    cross = pi != pj
+    d = (pxj - pxi) * (my[None, :] - pyi) - (mx[None, :] - pxi) * (pyj - pyi)
+    toggle = cross & ((d >= 0) != pi)
+    return (toggle.sum(axis=0) % 2).astype(bool)
 
 
 def is_simple_polygon(px, py) -> bool:
@@ -233,7 +256,12 @@ def is_simple_polygon(px, py) -> bool:
     first/last adjacency through the closing vertex is skipped), and no
     two consecutive segments fold back over each other
     (dot <= 0 with zero cross).  Pairwise test vectorized through
-    ``segments_intersect`` over the non-adjacent index pairs."""
+    ``segments_intersect`` over the non-adjacent index pairs.
+
+    Reference-exact quirk kept deliberately: the fold check iterates
+    ``i = 1 .. l-1`` (geometry.ml's ``for i = 1 to l - 1``), so a fold
+    exactly AT the closing vertex (last segment reversing over the
+    first) is not tested on either engine."""
     px = np.asarray(px, np.int64)
     py = np.asarray(py, np.int64)
     l = len(px) - 1
@@ -331,6 +359,23 @@ def polygon_areas_packed(px, py, starts, lens):
     py = np.asarray(py, np.int64)
     starts = np.asarray(starts, np.int64)
     lens = np.asarray(lens, np.int64)
+    valid = lens >= 2
+    if not valid.all():
+        # degenerate (0/1-vertex) rings: area 0, and they must not
+        # disturb the packed edge bookkeeping of their neighbors —
+        # compact them out and scatter results back
+        out = np.zeros(len(starts), dtype=np.int64)
+        if valid.any():
+            vlens = lens[valid]
+            # index gather (not a repeat-mask) so packs whose starts
+            # are non-contiguous stay correct on this rare path
+            idx = np.concatenate([np.arange(s, s + l) for s, l in
+                                  zip(starts[valid], vlens)])
+            vstarts = np.concatenate(
+                ([0], np.cumsum(vlens)[:-1])).astype(np.int64)
+            out[valid] = polygon_areas_packed(
+                px[idx], py[idx], vstarts, vlens)
+        return out
     n = len(px)
     ax = np.repeat(px[starts], lens)
     ay = np.repeat(py[starts], lens)
@@ -344,7 +389,6 @@ def polygon_areas_packed(px, py, starts, lens):
     terms = dx1 * dy2 - dx2 * dy1
     edge_starts = starts - np.arange(len(starts))   # each ring loses 1 edge
     a = np.add.reduceat(terms, edge_starts)
-    a = np.where(lens <= 1, 0, a)
     return np.where(a >= -1, (a + 1) // 2, -((-(a + 1)) // 2))
 
 

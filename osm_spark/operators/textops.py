@@ -21,24 +21,43 @@ def occurrences(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
+def _norm_ws(text: Column) -> Column:
+    """Whitespace-normalized view (runs of \\s -> one space, trimmed):
+    the exact length arithmetic below is correct on THIS string for any
+    real document (newlines, tabs, double spaces), not just
+    single-space-separated text."""
+    return F.trim(F.regexp_replace(text, "\\s+", " "))
+
+
+def _pad_ws(text: Column) -> Column:
+    """Normalized text padded with one space each side, so ' w '
+    occurrence counting also matches words at the start/end."""
+    return F.concat(F.lit(" "), _norm_ws(text), F.lit(" "))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count via length arithmetic (exact)."""
-    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
-        occurrences(text, " ") + 1
+    n = _norm_ws(text)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        occurrences(n, " ") + 1
     )
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring: length, token count, mean token length,
-    stopword ratio, type-token-ratio proxy (distinct-first-letters)."""
+    """Quality scoring: raw length (n_chars2 — the documents table
+    already has n_chars), token count, mean token length, stopword
+    ratio.  Divisions null out (not crash) on empty text under ANSI."""
     t = F.col(text_col)
+    n = _norm_ws(t)
     toks = token_count(t)
-    stop = sum(occurrences(t, f" {w} ") for w in ["the", "a", "of", "and"])
+    toks_nz = F.nullif(toks, F.lit(0))
+    stop = sum(occurrences(_pad_ws(t), f" {w} ")
+               for w in ["the", "a", "of", "and"])
     return (
         df.withColumn("n_chars2", F.length(t))
         .withColumn("n_tokens", toks)
-        .withColumn("mean_tok_len", (F.length(t) - toks + 1) / toks)
-        .withColumn("stop_ratio", stop / toks)
+        .withColumn("mean_tok_len", (F.length(n) - toks + 1) / toks_nz)
+        .withColumn("stop_ratio", stop / toks_nz)
     )
 
 
@@ -53,8 +72,9 @@ LANG_MARKERS = {
 
 def langid_col(text: Column) -> Column:
     """Predicted language = argmax of marker-word counts (ties → 'und')."""
+    padded = _pad_ws(text)
     scores = {
-        lang: sum(occurrences(text, f" {w} ") for w in ws)
+        lang: sum(occurrences(padded, f" {w} ") for w in ws)
         for lang, ws in LANG_MARKERS.items()
     }
     langs = sorted(scores)
@@ -76,7 +96,11 @@ def fingerprint_udf():
     def fp(text: pd.Series) -> pd.Series:
         base = np.uint64(1000003)
         out = np.zeros(len(text), dtype=np.uint64)
+        null = np.zeros(len(text), dtype=bool)
         for i, s in enumerate(text):
+            if s is None:
+                null[i] = True
+                continue
             b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
             if len(b) == 0:
                 continue
@@ -87,7 +111,8 @@ def fingerprint_udf():
                 powers[1:] = base
                 powers = np.cumprod(powers, dtype=np.uint64)
             out[i] = np.sum(b * powers[::-1], dtype=np.uint64)
-        return pd.Series(out.view(np.int64))
+        return pd.Series(pd.array(out.view(np.int64), dtype="Int64")
+                         ).mask(null)
 
     return fp
 

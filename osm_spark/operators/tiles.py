@@ -132,6 +132,12 @@ def _feature_tiles_pandas(zooms: tuple[int, ...]):
         empty = {"feature_id": [], "category": [], "band": [], "z": [],
                  "x_min": [], "x_max": [], "y_min": [], "y_max": [], "n_pts": []}
         for pdf in batches:
+            # a feature with no rings (or only empty ones) has no
+            # geometry and no tiles; dropping it here also keeps the
+            # packed searchsorted/reduceat bookkeeping below aligned
+            if len(pdf):
+                pdf = pdf[pdf["rings"].map(
+                    lambda rs: any(len(r["lat"]) for r in rs))]
             nf = len(pdf)
             if nf == 0:
                 yield pd.DataFrame(empty)
@@ -143,6 +149,7 @@ def _feature_tiles_pandas(zooms: tuple[int, ...]):
                     (np.asarray(r["lat"], np.int64),
                      np.asarray(r["lon"], np.int64), r["role"])
                     for r in rings
+                    if len(r["lat"])
                 ]
                 feat_rings.append(arrs)
                 for la_, lo_, _ in arrs:

@@ -64,63 +64,96 @@ def run_available_now(sdf: DataFrame, table_name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{table_name}' did not drain within {timeout_s}s")
     spark = sdf.sparkSession
     return spark.table(table_name)
 
 
 SESSION_SCHEMA = "user_id long, session_start timestamp, n_events int, sum_cents long"
-_STATE_SCHEMA = "start long, n int, s long, last long"
+# buffered (ts, cents) pairs not yet closable by the watermark; size is
+# bounded by the watermark horizon per user (same bound Spark's own
+# session examples carry)
+_STATE_SCHEMA = "ts array<long>, cents array<long>"
 
 
 def sessionize(events: DataFrame, gap_s: int = 1800,
                watermark: str = "2 hours") -> DataFrame:
     """Stateful sessionization: events per user split at gaps > gap_s.
 
-    Streaming path: ``applyInPandasWithState`` with processing-time-free,
-    event-time timeout semantics.  Emits closed sessions.  The batch
-    equivalent (same semantics, used by the oracle) is a lag()-window
-    session-id assignment — see ``sessionize_batch``.
+    Streaming path: ``applyInPandasWithState`` buffering each user's
+    pending events in state and emitting a session only once the
+    WATERMARK has passed its closing gap — so a late event (within the
+    watermark) arriving in a later micro-batch lands in its correct
+    session, extends one backward, or bridges two pending ones, exactly
+    as the batch twin would place it.  Emission latency therefore
+    equals the watermark delay; pass ``watermark="0 seconds"`` for
+    prompt emission when late data is impossible.  Emits closed
+    sessions (append mode).  The batch equivalent (same semantics, used
+    by the oracle) is ``sessionize_batch``.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
         rows = []
-        evs = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        gap_us = gap_s * 1_000_000
+        buf_ts: list = []
+        buf_c: list = []
+        if state.exists:
+            t0, c0 = state.get
+            buf_ts, buf_c = list(t0), list(c0)
         for pdf in pdfs:
-            evs.append(pdf[["ts", "value"]])
-        if evs:
-            ev = pd.concat(evs).sort_values("ts")
-            ts = (ev["ts"].astype("int64") // 1000).to_numpy()  # microseconds
+            if not len(pdf):
+                continue
+            ts = (pdf["ts"].astype("int64") // 1000).to_numpy()  # micros
             # HALF_UP (away from zero) like Spark's F.round — pandas
             # .round() is half-to-even and diverges on exact .5 cents,
             # breaking batch/stream parity
-            import numpy as np
-
-            v = ev["value"].to_numpy() * 100
+            v = pdf["value"].to_numpy() * 100
             cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
-            if state.exists:
-                start, n, s, last = state.get
-            else:
-                start, n, s, last = int(ts[0]), 0, 0, int(ts[0])
-            gap_us = gap_s * 1_000_000
-            for t, v in zip(ts, cents):
-                if n > 0 and t - last > gap_us:
-                    rows.append((user, pd.Timestamp(start, unit="us"), n, s))
-                    start, n, s = int(t), 0, 0
-                n += 1
-                s += int(v)
-                last = int(t)
-            state.update((start, n, s, last))
-            state.setTimeoutTimestamp(
-                max(last // 1000 + gap_s * 1000,
-                    state.getCurrentWatermarkMs() + 1))
-        elif state.hasTimedOut and state.exists:
-            start, n, s, last = state.get
-            if n > 0:
-                rows.append((user, pd.Timestamp(start, unit="us"), n, s))
+            buf_ts.extend(int(t) for t in ts)
+            buf_c.extend(int(c) for c in cents)
+        if buf_ts:
+            order = np.argsort(np.asarray(buf_ts, np.int64), kind="stable")
+            bts = np.asarray(buf_ts, np.int64)[order]
+            bc = np.asarray(buf_c, np.int64)[order]
+            splits = np.nonzero(np.diff(bts) > gap_us)[0] + 1
+            seg_s = np.concatenate(([0], splits))
+            seg_e = np.concatenate((splits, [len(bts)]))
+            keep_from = len(bts)
+            first_rem_last = None     # last event of the FIRST pending
+            for s0, s1 in zip(seg_s, seg_e):
+                last = int(bts[s1 - 1])
+                # closable only when NO future event can bridge into
+                # it: watermark past last + gap
+                if wm_us > last + gap_us:
+                    rows.append((user, pd.Timestamp(int(bts[s0]), unit="us"),
+                                 int(s1 - s0), int(bc[s0:s1].sum())))
+                else:
+                    keep_from = int(s0)
+                    first_rem_last = last
+                    break
+            rem_ts = bts[keep_from:]
+            rem_c = bc[keep_from:]
+            if len(rem_ts):
+                state.update((rem_ts.tolist(), rem_c.tolist()))
+                # wake when the EARLIEST pending session becomes
+                # closable — anchoring on the last buffered event would
+                # strand earlier sessions of users whose final events
+                # sit near the stream's max time
+                state.setTimeoutTimestamp(
+                    max(first_rem_last // 1000 + gap_s * 1000 + 1,
+                        wm_ms + 1))
+            elif state.exists:
+                state.remove()
+        elif state.exists and state.hasTimedOut:
             state.remove()
         yield pd.DataFrame(
             rows, columns=["user_id", "session_start", "n_events", "sum_cents"])

@@ -94,3 +94,45 @@ def test_is_simple_polygon():
     # intersection counts -> not simple
     assert not K.is_simple_polygon(
         [0, 100, 100, 50, 0, 0], [0, 0, 100, 0, 100, 0])
+
+
+# ------------------------------------------------- review regressions
+
+def test_polygon_areas_packed_degenerate_rings():
+    """0/1-vertex rings get area 0 without crashing on (or corrupting)
+    neighboring rings' reduceat segments — including a degenerate LAST
+    ring (the IndexError case)."""
+    sq_x = np.array([0, 10, 10, 0, 0], np.int64)
+    sq_y = np.array([0, 0, 10, 10, 0], np.int64)
+    want = K.polygon_area(sq_x, sq_y)
+    # [square, 1-vertex], [1-vertex, square], [square, 0-vertex, square]
+    px = np.concatenate([sq_x, [7]])
+    a = K.polygon_areas_packed(px, np.concatenate([sq_y, [7]]),
+                               [0, 5], [5, 1])
+    assert list(a) == [want, 0]
+    px2 = np.concatenate([[7], sq_x])
+    a2 = K.polygon_areas_packed(px2, np.concatenate([[7], sq_y]),
+                                [0, 1], [1, 5])
+    assert list(a2) == [0, want]
+    px3 = np.concatenate([sq_x, sq_x])
+    a3 = K.polygon_areas_packed(px3, np.concatenate([sq_y, sq_y]),
+                                [0, 5, 5], [5, 0, 5])
+    assert list(a3) == [want, 0, want]
+
+
+def test_midpoints_in_ring_world_span_exact():
+    """World-spanning doubled coordinates would wrap int64 cross
+    products; the translated/object-int path stays exact."""
+    big = 1_799_999_999
+    # ring covering nearly the whole world
+    px = np.array([-big, big, big, -big, -big], np.int64)
+    py = np.array([-850_000_000, -850_000_000, 850_000_000,
+                   850_000_000, -850_000_000], np.int64)
+    # segment midpoints: one at the center (inside), one far north
+    # (outside)
+    x1 = np.array([-1000, -big], np.int64)
+    y1 = np.array([0, 890_000_000], np.int64)
+    x2 = np.array([1000, big], np.int64)
+    y2 = np.array([0, 890_000_000], np.int64)
+    got = K.midpoints_in_ring(x1, y1, x2, y2, px, py)
+    assert list(got) == [True, False]

@@ -53,8 +53,12 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
             for r in closed_batch.collect()}
 
     stream = SE.read_events_stream(spark, events_dir)
+    # 0s watermark: the fixture is in-order, so every gap-closed
+    # session becomes emittable as soon as the watermark reaches the
+    # stream's max event time
     got_df = SE.run_available_now(
-        SE.sessionize(stream, gap_s=gap), "t_sessions", "append")
+        SE.sessionize(stream, gap_s=gap, watermark="0 seconds"),
+        "t_sessions", "append")
     got = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
            for r in got_df.collect()}
     assert want, "fixture should produce closed sessions"
@@ -74,3 +78,50 @@ def test_sessionize_batch_properties(spark):
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")).first()
     assert (agg.n, agg.c) == (raw.n, raw.c)  # partition of all events
+
+
+def test_sessionize_stream_late_event_parity(tmp_path, spark):
+    """A LATE event (within the watermark) arriving in a later
+    micro-batch must land in its correct session — extending it and
+    moving its member set — exactly as the batch twin places it."""
+    import datetime as dt
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [(i, t0 + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+                for i, (u, m) in enumerate(specs)]
+
+    batch1 = rows([(1, 0), (1, 10)])
+    # batch 2: a LATE event at +5min for user 1, plus a far-future
+    # event for user 2 that pushes the watermark past user 1's close
+    batch2 = rows([(1, 5), (2, 60 * 13)])
+    # flat single-file parquets (the file stream source lists files,
+    # not nested output directories), written by Spark so the
+    # timestamp logical type matches the read schema
+    for name, data in (("b1", batch1), ("b2", batch2)):
+        tmp = d / f"_{name}"
+        spark.createDataFrame(data, SE.EVENTS_SCHEMA) \
+            .coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(d / f"{name}.parquet")
+
+    gap = 8 * 3600
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    got_df = SE.run_available_now(
+        SE.sessionize(stream, gap_s=gap, watermark="2 hours"),
+        "t_late_sessions", "append")
+    got = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+           for r in got_df.collect()}
+    # user 1's closed session contains ALL THREE events with the late
+    # one in place (start t0, not t0+5min appended out of order)
+    assert (1, t0, 3, 300) in got
+    # parity: everything emitted is a true batch session over the union
+    union = spark.read.parquet(str(d / "b1.parquet")) \
+        .unionByName(spark.read.parquet(str(d / "b2.parquet")))
+    all_batch = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+                 for r in SE.sessionize_batch(union, gap_s=gap).collect()}
+    assert got <= all_batch

@@ -192,3 +192,19 @@ def test_knn_point_at_exact_antimeridian(spark):
     got = knn_join(pts, feats, k=1, exact=False, strategy="cells",
                    n_features=1).collect()
     assert len(got) == 1 and got[0].feature_id == 42
+
+
+def test_feature_tiles_ringless_feature(spark):
+    """A feature with an empty rings list (or only empty rings) emits
+    no tiles and must not crash or steal the next feature's bbox."""
+    sq = [(0, [10**6, 10**6, 2 * 10**6, 2 * 10**6, 10**6],
+              [10**6, 2 * 10**6, 2 * 10**6, 10**6, 10**6])]
+    polys = spark.createDataFrame(
+        [(1, 1, [(r, la, lo) for r, la, lo in sq]),
+         (2, 1, []),
+         (3, 1, [(0, [], [])])],
+        "feature_id long, category int, "
+        "rings array<struct<role:int, lat:array<long>, lon:array<long>>>")
+    out = T.feature_tiles(polys, zooms=(12,)).collect()
+    fids = {r.feature_id for r in out}
+    assert 1 in fids and 2 not in fids and 3 not in fids
