@@ -23,11 +23,13 @@ everything downstream stays distributed).
 from __future__ import annotations
 
 import numpy as np
+
+from osm_spark.geo import kernels as K
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LON_180 = 1_800_000_000
+LON_180 = K.LON_OFFSET        # +180 deg fixed-point (single source: kernels)
 SNAP_EPS_LON = LON_180 - 1_000  # |lon| above this snaps to ±180°
 CAP_LAT = 850_000_000
 

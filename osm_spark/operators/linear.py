@@ -46,6 +46,8 @@ def _line_tiles_pandas(zooms: tuple[int, ...]):
             ):
                 la = np.asarray(lats, np.int64)
                 lo = np.asarray(lons, np.int64)
+                if len(la) < 2:       # degenerate way: no line, and DP
+                    continue          # would crash on an empty array
                 min_z = CATEGORY_MIN_ZOOM.get(int(cat), DEFAULT_MIN_ZOOM)
                 for z, ratio in params:
                     if z < min_z:
@@ -54,13 +56,19 @@ def _line_tiles_pandas(zooms: tuple[int, ...]):
                     sla, slo = la[keep], lo[keep]
                     if len(sla) < 2:
                         continue
+                    # clamp to the valid tile range: mercator y diverges
+                    # at the poles (lat -90 -> row 26836 at z=12) and
+                    # lon=+180 gives x=2^z — without the clamp the
+                    # explode downstream fabricates thousands of
+                    # nonexistent tiles per way
+                    n = (1 << z) - 1
                     out["way_id"].append(wid)
                     out["category"].append(cat)
                     out["z"].append(z)
-                    out["x_min"].append(int(K.tile_x(slo.min(), z)))
-                    out["x_max"].append(int(K.tile_x(slo.max(), z)))
-                    out["y_min"].append(int(K.tile_y_float(sla.max(), z)))
-                    out["y_max"].append(int(K.tile_y_float(sla.min(), z)))
+                    out["x_min"].append(min(max(int(K.tile_x(slo.min(), z)), 0), n))
+                    out["x_max"].append(min(max(int(K.tile_x(slo.max(), z)), 0), n))
+                    out["y_min"].append(min(max(int(K.tile_y_float(sla.max(), z)), 0), n))
+                    out["y_max"].append(min(max(int(K.tile_y_float(sla.min(), z)), 0), n))
                     out["n_pts"].append(len(sla))
             yield pd.DataFrame(out)
 

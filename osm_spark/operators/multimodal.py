@@ -58,13 +58,18 @@ def byte_histogram_features(media_df: DataFrame,
     payload — a real, deterministic feature extractor (the shape every
     decode-based extractor plugs into)."""
 
+    if not (1 <= bins <= 256 and bins & (bins - 1) == 0):
+        raise ValueError(
+            f"bins must be a power of two in [1, 256], got {bins} "
+            "(the bucketing is a byte right-shift)")
+    shift = int(np.log2(256 // bins)) if bins < 256 else 0
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for blob in pdf["media"]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                hist = np.bincount(arr >> int(np.log2(256 // bins)),
-                                   minlength=bins)
+                hist = np.bincount(arr >> shift, minlength=bins)
                 feats.append(hist.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
@@ -143,7 +148,12 @@ def decode_ppm_gray(b: bytes) -> np.ndarray:
             j += 1
         toks.append(int(b[i:j]))
         i = j
-    i += 1                                      # single whitespace after maxval
+    # single whitespace after maxval per spec; tolerate a CRLF pair
+    # (Windows text-mode writers) so the raster is not shifted a byte
+    if b[i:i + 2] == b"\r\n":
+        i += 2
+    else:
+        i += 1
     w, h, maxval = toks
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
@@ -174,15 +184,17 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
     ``NotImplementedError`` otherwise.  ``fake=True`` keeps the
     clearly-marked deterministic fake (sha256-expanded bytes) for
     plumbing tests over arbitrary payloads."""
-    try:
-        from PIL import Image  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        # probe PIL on the EXECUTOR (driver availability is irrelevant
+        # and binding the module into the closure would make every task
+        # fail at deserialization on a driver/executor mismatch)
+        try:
+            from PIL import Image
+            have_pil = True
+        except ImportError:
+            have_pil = False
         for pdf in batches:
             out = []
             for blob in pdf["media"]:

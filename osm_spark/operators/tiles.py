@@ -211,10 +211,14 @@ def _feature_tiles_pandas(zooms: tuple[int, ...]):
                     out["category"].append(int(cats[fi]))
                     out["band"].append(str(z))
                     out["z"].append(z)
-                    out["x_min"].append(int(K.tile_x(slo.min(), z)))
-                    out["x_max"].append(int(K.tile_x(slo.max(), z)))
-                    out["y_min"].append(int(K.tile_y_float(sla.max(), z)))
-                    out["y_max"].append(int(K.tile_y_float(sla.min(), z)))
+                    # clamp to [0, 2^z-1]: polar latitudes blow up the
+                    # mercator row and lon=+180 gives x=2^z; the span
+                    # explode downstream must not fabricate tiles
+                    nmax = (1 << z) - 1
+                    out["x_min"].append(min(max(int(K.tile_x(slo.min(), z)), 0), nmax))
+                    out["x_max"].append(min(max(int(K.tile_x(slo.max(), z)), 0), nmax))
+                    out["y_min"].append(min(max(int(K.tile_y_float(sla.max(), z)), 0), nmax))
+                    out["y_max"].append(min(max(int(K.tile_y_float(sla.min(), z)), 0), nmax))
                     out["n_pts"].append(int(len(sla)))
             yield pd.DataFrame(out)
 

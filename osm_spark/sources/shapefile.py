@@ -1,4 +1,7 @@
-"""ESRI shapefile source (S3): record index + parallel range-read decode.
+"""ESRI shapefile source: record index + parallel range-read decode.
+
+Paths are opened with plain ``open()`` — local or fuse/NFS-mounted
+storage; for object stores, mount or plug an fsspec-style opener.
 
 Re-expression of the reference's coastline reader
 (/root/reference/osm/coastline.ml:36-169) from the public shapefile
@@ -49,10 +52,16 @@ def iter_record_index(path: str):
         with open(shx, "rb") as f:
             _read_header(f)
             data = f.read()
-        for i in range(0, len(data), 8):
-            off_w, len_w = struct.unpack(">ii", data[i:i + 8])
-            yield i // 8 + 1, off_w * 2 + 8, len_w * 2
-        return
+        # distrust a suspicious side file (same contract as warc.py's
+        # empty-cdx rule): an empty or truncated .shx next to a
+        # non-trivial .shp is a partial write — fall through to the
+        # .shp record walk rather than silently dropping records
+        if len(data) % 8 == 0 and (
+                len(data) > 0 or os.path.getsize(path) <= 100):
+            for i in range(0, len(data), 8):
+                off_w, len_w = struct.unpack(">ii", data[i:i + 8])
+                yield i // 8 + 1, off_w * 2 + 8, len_w * 2
+            return
     with open(path, "rb") as f:
         _read_header(f)
         while True:
@@ -126,9 +135,13 @@ def read_shp(spark: SparkSession, path: str,
 def write_shp(path: str, shapes: list[tuple[int, list[list[tuple[float, float]]]]]):
     """shapes: [(shape_type, [part=[(lon_deg, lat_deg), ...], ...])].
     Writes .shp and the matching .shx index."""
+    if not shapes:
+        raise ValueError("write_shp needs at least one shape")
     records = []
     for num, (typ, parts) in enumerate(shapes, start=1):
         flat = [p for part in parts for p in part]
+        if not flat:
+            raise ValueError(f"shape {num} has no points")
         xs = [x for x, _ in flat]
         ys = [y for _, y in flat]
         content = struct.pack("<i", typ)
@@ -145,7 +158,7 @@ def write_shp(path: str, shapes: list[tuple[int, list[list[tuple[float, float]]]
     def header(total_words: int) -> bytes:
         h = struct.pack(">i", MAGIC) + b"\x00" * 20
         h += struct.pack(">i", total_words)
-        h += struct.pack("<ii", 1000, records[0][1] and struct.unpack("<i", records[0][1][:4])[0])
+        h += struct.pack("<ii", 1000, shapes[0][0])
         h += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
         return h
 

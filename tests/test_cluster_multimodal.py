@@ -221,3 +221,23 @@ def test_dedup_tokens_split_on_any_whitespace(spark):
     sigs = minhash_signatures(df).collect()
     vals = {tuple(r[1:]) for r in sigs}
     assert len(vals) == 1  # identical signatures for all three
+
+
+def test_ppm_crlf_and_histogram_bins(spark):
+    """CRLF after maxval must not shift the raster by one byte; the
+    histogram bins contract rejects non-power-of-two bins."""
+    import numpy as np
+
+    from osm_spark.operators.multimodal import (byte_histogram_features,
+                                                decode_ppm_gray)
+    px = bytes([10, 20, 30, 40])
+    unix = decode_ppm_gray(b"P5 2 2 255\n" + px)
+    wind = decode_ppm_gray(b"P5 2 2 255\r\n" + px)
+    assert (unix == np.array([[10, 20], [30, 40]])).all()
+    assert (wind == unix).all()
+    df = spark.createDataFrame([(1, bytearray(b"abc"))],
+                               "doc_id long, media binary")
+    with pytest.raises(ValueError, match="power of two"):
+        byte_histogram_features(df, bins=10)
+    out = byte_histogram_features(df, bins=256).collect()
+    assert len(out[0].features) == 256

@@ -75,3 +75,20 @@ def test_clip_lines_sides_and_cutpoints(spark, roads):
         kept = {(a, b) for p in ps for a, b in zip(p.lats, p.lons)}
         for a, b in zip(la0, lo0):
             assert (a, b) in kept  # original vertices all survive somewhere
+
+
+def test_linear_tiles_polar_and_antimeridian_clamped(spark):
+    """Polar latitudes and lon=+180 must clamp into [0, 2^z-1] instead
+    of exploding thousands of nonexistent tiles; empty ways skip."""
+    lines = spark.createDataFrame(
+        [(1, 0, [-90 * 10**7, -89 * 10**7], [0, 10**6]),
+         (2, 0, [0, 10**6], [1799 * 10**6, 180 * 10**7]),
+         (3, 0, [], [])],
+        "way_id long, category int, lats array<long>, lons array<long>")
+    out = L.linear_tiles(lines, zooms=(12,)).collect()
+    n = 1 << 12
+    assert all(0 <= r.x < n and 0 <= r.y < n for r in out)
+    ids = {r.way_id for r in out}
+    assert ids == {1, 2}
+    # way 1 spans at most a few clamped rows, not ~22k fabricated ones
+    assert len([r for r in out if r.way_id == 1]) < 100
