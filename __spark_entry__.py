@@ -1360,8 +1360,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "g01_distance": f"""
             WITH {OSQL.PTS_CTE},
             nxt AS (SELECT doc_id,
-                       {FX.LAT0} + ((doc_id + 1) * {FX.GEO_A}) % {FX.SPAN} AS lat2,
-                       {FX.LON0} + ((doc_id + 1) * {FX.GEO_B}) % {FX.SPAN} AS lon2
+                       {FX.LAT0} + ((((doc_id + 1) % {FX.SPAN}) + {FX.SPAN}) % {FX.SPAN}
+                         * CAST({FX.GEO_A % FX.SPAN} AS BIGINT)) % {FX.SPAN} AS lat2,
+                       {FX.LON0} + ((((doc_id + 1) % {FX.SPAN}) + {FX.SPAN}) % {FX.SPAN}
+                         * CAST({FX.GEO_B % FX.SPAN} AS BIGINT)) % {FX.SPAN} AS lon2
                     FROM documents)
             SELECT p.doc_id, {OSQL.haversine_sql("p.lat", "p.lon", "n.lat2", "n.lon2")} AS dist_mm
             FROM pts p JOIN nxt n USING (doc_id)""",

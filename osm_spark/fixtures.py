@@ -47,10 +47,15 @@ def geocode_ints(ids):
     """Hash-geocode ids → (lat_fp, lon_fp), exact int64 arithmetic.
 
     Identical formula is used in Spark expressions and DuckDB oracle SQL:
-    lat = LAT0 + (id*GEO_A) % SPAN ; lon = LON0 + (id*GEO_B) % SPAN.
+    lat = LAT0 + ((id%SPAN) * (GEO_A%SPAN)) % SPAN (floored mod, and
+    likewise for lon) — mathematically (id*GEO_A) % SPAN, but exact in
+    int64 for ANY id and identical across engines for negative ids
+    (floored everywhere; a raw truncated % would flip sign).
     """
     ids = np.asarray(ids, np.int64)
-    return LAT0 + (ids * GEO_A) % SPAN, LON0 + (ids * GEO_B) % SPAN
+    m = ids % SPAN        # reduce FIRST: (id%S)*(A%S) fits int64 for
+    return (LAT0 + (m * (GEO_A % SPAN)) % SPAN,   # any id (no wrap),
+            LON0 + (m * (GEO_B % SPAN)) % SPAN)   # == (id*A)%S exactly
 
 
 def star_ring(cx, cy, r, n, seed, wobble=0.5):

@@ -15,6 +15,11 @@ materializing its output column directory.  The Spark-first equivalent:
   ``lineage.jsonl`` with its input stages (the lineage DAG edge list),
   row count, partition histogram, bytes written, and wall time.
 
+All filesystem access goes through the JVM Hadoop FileSystem bound to
+``base_dir``'s scheme, so checkpoints/resume/byte accounting work the
+same on local paths and on ``s3a://``/``hdfs://`` URIs (the lineage log
+is rewritten whole per append — object stores have no append).
+
 At 100 TB the only extra cost per stage is one count-style aggregation
 over data Spark already materializes for the checkpoint.
 """
@@ -23,14 +28,15 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def partition_stats(df: DataFrame) -> list[dict]:
-    """[{partition, rows}] for the DataFrame's current partitioning."""
+    """[{partition, rows}] for the DataFrame's current partitioning.
+    Empty partitions emit no aggregation row — pair with
+    ``df.rdd.getNumPartitions()`` for the true partition count."""
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition"))
         .agg(F.count("*").alias("rows"))
@@ -39,8 +45,52 @@ def partition_stats(df: DataFrame) -> list[dict]:
     return [{"partition": r.partition, "rows": r.rows} for r in rows]
 
 
-def _dir_bytes(p: Path) -> int:
-    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+class _FS:
+    """Thin wrapper over the JVM Hadoop FileSystem for ``base``'s
+    scheme — one code path for file:/, s3a:/, hdfs:/ checkpoints."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._io = jvm.org.apache.commons.io.IOUtils
+        self._base = self._Path(base)
+        self._fs = self._base.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+
+    def child(self, *parts: str):
+        p = self._base
+        for x in parts:
+            p = self._Path(p, x)
+        return p
+
+    def exists(self, *parts: str) -> bool:
+        return bool(self._fs.exists(self.child(*parts)))
+
+    def mkdirs(self) -> None:
+        self._fs.mkdirs(self._base)
+
+    def dir_bytes(self, *parts: str) -> int:
+        try:
+            return int(self._fs.getContentSummary(
+                self.child(*parts)).getLength())
+        except Exception:
+            return 0
+
+    def read_text(self, *parts: str) -> str:
+        # commons-io drains the stream JVM-side: py4j does not copy
+        # Java-mutated byte[] buffers back into a Python bytearray
+        st = self._fs.open(self.child(*parts))
+        try:
+            return self._io.toString(st, "UTF-8")
+        finally:
+            st.close()
+
+    def write_text(self, text: str, *parts: str) -> None:
+        st = self._fs.create(self.child(*parts), True)
+        try:
+            st.write(bytearray(text.encode("utf-8")))
+        finally:
+            st.close()
 
 
 class Pipeline:
@@ -48,21 +98,24 @@ class Pipeline:
 
     def __init__(self, spark: SparkSession, base_dir: str, name: str = "pipeline"):
         self.spark = spark
-        self.base = Path(base_dir)
+        self.base_dir = base_dir.rstrip("/")
         self.name = name
-        self.base.mkdir(parents=True, exist_ok=True)
-        self._log_path = self.base / "lineage.jsonl"
+        self._fs = _FS(spark, self.base_dir)
+        self._fs.mkdirs()
+        self._log_name = "lineage.jsonl"
 
     def _log(self, rec: dict):
         rec = {"pipeline": self.name, "ts": round(time.time(), 3), **rec}
-        with open(self._log_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        text = ""
+        if self._fs.exists(self._log_name):
+            text = self._fs.read_text(self._log_name)
+        self._fs.write_text(text + json.dumps(rec) + "\n", self._log_name)
 
     def lineage(self) -> list[dict]:
-        if not self._log_path.exists():
+        if not self._fs.exists(self._log_name):
             return []
         return [json.loads(x) for x in
-                self._log_path.read_text().splitlines() if x]
+                self._fs.read_text(self._log_name).splitlines() if x]
 
     def stage(self, name: str, fn, inputs: list[str] | tuple[str, ...] = (),
               partition_by: list[str] | None = None) -> DataFrame:
@@ -73,29 +126,52 @@ class Pipeline:
         which also cuts lineage for iterative callers.  ``inputs`` names
         upstream stages (the lineage DAG edges).
         """
-        out = self.base / name
-        if (out / "_SUCCESS").exists():
+        out = f"{self.base_dir}/{name}"
+        if self._fs.exists(name, "_SUCCESS"):
             self._log({"stage": name, "inputs": list(inputs), "resumed": True,
-                       "bytes": _dir_bytes(out)})
-            return self.spark.read.parquet(str(out))
+                       "bytes": self._fs.dir_bytes(name)})
+            schema = None
+            if self._fs.exists(name, "_schema.json"):
+                from pyspark.sql.types import StructType
+                schema = StructType.fromJson(
+                    json.loads(self._fs.read_text(name, "_schema.json")))
+            return self._read_back(out, schema)
         t0 = time.time()
         df = fn()
+        schema = df.schema
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(out))
-        back = self.spark.read.parquet(str(out))
+        writer.parquet(out)
+        if partition_by:
+            # pin the producer's schema for resumed reads too — first
+            # run and resume must return identical column types/order
+            self._fs.write_text(json.dumps(schema.jsonValue()),
+                                name, "_schema.json")
+        back = self._read_back(out, schema if partition_by else None)
         pstats = partition_stats(back)
         n_rows = sum(p["rows"] for p in pstats)
         rows_max = max((p["rows"] for p in pstats), default=0)
-        n_parts = max(len(pstats), 1)
+        # true partition count (empty partitions emit no stats row —
+        # all-keys-in-one-partition skew must not read as balanced)
+        n_parts = max(back.rdd.getNumPartitions(), 1)
         self._log({
             "stage": name, "inputs": list(inputs), "resumed": False,
             "rows": n_rows, "partitions": n_parts,
             "rows_max_partition": rows_max,
             "skew": round(rows_max * n_parts / n_rows, 3) if n_rows else 0.0,
-            "bytes": _dir_bytes(out),
+            "bytes": self._fs.dir_bytes(name),
             "wall_s": round(time.time() - t0, 3),
             "partition_rows": pstats,
         })
         return back
+
+    def _read_back(self, out: str, schema) -> DataFrame:
+        """Read a checkpoint back; with ``schema`` (partitioned writes)
+        the producer's column types and order are pinned, overriding
+        partition-column type inference (a string '20250101' day column
+        must not come back as a bigint at the end of the schema)."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(out)

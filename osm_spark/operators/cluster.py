@@ -48,12 +48,18 @@ def median_split_assign(df: DataFrame, levels: int = 4,
     cur = df.withColumn(out, F.lit(0))
     for lvl in range(levels):
         axis = lat if lvl % 2 == 0 else lon
+        # NULL coordinates sort into the low branch deterministically —
+        # a NULL comparison would NULL the part key and the next
+        # level's inner join on it would silently DROP the row
+        ax = F.coalesce(F.col(axis),
+                        F.lit(-(1 << 62)).cast("long"))
         meds = cur.groupBy(out).agg(
             F.percentile_approx(axis, 0.5).alias("_med"))
         cur = (
             cur.join(F.broadcast(meds), out)
             .withColumn(out, F.col(out) * 2
-                        + (F.col(axis) > F.col("_med")).cast("int"))
+                        + (ax > F.coalesce(F.col("_med"), F.lit(1 << 62))
+                           ).cast("int"))
             .drop("_med")
         )
     return cur
@@ -66,4 +72,4 @@ def cluster_by_hilbert(df: DataFrame, n_partitions: int = 32,
     Iceberg writer) to get spatially-pruned scans."""
     keyed = with_hilbert_key(df, lat, lon)
     return keyed.repartitionByRange(n_partitions, "hkey") \
-        .sortWithinPartitions("hkey")
+        .sortWithinPartitions("hkey").drop("hkey")

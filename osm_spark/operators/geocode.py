@@ -36,8 +36,12 @@ def geocode_pages(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def geocode_id_cols(id_col: Column) -> tuple[Column, Column]:
-    lat = F.lit(LAT0) + (id_col * F.lit(GEO_A)) % F.lit(SPAN)
-    lon = F.lit(LON0) + (id_col * F.lit(GEO_B)) % F.lit(SPAN)
+    # reduce mod SPAN before multiplying (id*GEO_A wraps int64 past
+    # ~3.5e9) and use pmod (floored) so negative ids land inside the
+    # world box exactly like the numpy fixture and DuckDB twins
+    m = F.pmod(id_col, F.lit(SPAN))
+    lat = F.lit(LAT0) + F.pmod(m * F.lit(GEO_A % SPAN), F.lit(SPAN))
+    lon = F.lit(LON0) + F.pmod(m * F.lit(GEO_B % SPAN), F.lit(SPAN))
     return lat.cast("long"), lon.cast("long")
 
 

@@ -37,16 +37,29 @@ def feature_areas(polys: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fids, areas = [], []
-            for fid, rings in zip(pdf["feature_id"], pdf["rings"]):
-                a = sum(
-                    K.polygon_area(np.asarray(r["lon"], np.int64),
-                                   np.asarray(r["lat"], np.int64))
-                    for r in rings
-                )
-                fids.append(fid)
-                areas.append(int(a))
-            yield pd.DataFrame({"feature_id": fids, "area": areas})
+            # one packed vectorized pass over ALL rings in the batch
+            # (kernels.polygon_areas_packed), not per-ring Python calls
+            las, los, lens, ring_feat = [], [], [], []
+            for fi, rings in enumerate(pdf["rings"]):
+                for r in rings:
+                    la = np.asarray(r["lat"], np.int64)
+                    las.append(la)
+                    los.append(np.asarray(r["lon"], np.int64))
+                    lens.append(len(la))
+                    ring_feat.append(fi)
+            nf = len(pdf)
+            areas = np.zeros(nf, np.int64)
+            if lens:
+                lens_a = np.asarray(lens, np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens_a)[:-1]))
+                ring_area = K.polygon_areas_packed(
+                    np.concatenate(los), np.concatenate(las),
+                    starts, lens_a)
+                np.add.at(areas, np.asarray(ring_feat, np.int64),
+                          ring_area)
+            yield pd.DataFrame({
+                "feature_id": pdf["feature_id"].to_numpy(np.int64),
+                "area": areas})
 
     return polys.select("feature_id", "rings").mapInPandas(
         fn, "feature_id long, area long")

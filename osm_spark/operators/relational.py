@@ -39,10 +39,16 @@ def join_with_defaults(
 
 
 def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
-    """R12-adjacent deterministic top-k via row_number (total order
-    required: pass tie-breaking columns)."""
+    """R12-adjacent deterministic top-k (total order required: pass
+    tie-breaking columns).
+
+    Distributed TakeOrdered (orderBy + limit = per-partition top-k then
+    a k-row merge), NOT a global no-partition window — that plan funnels
+    the whole table through one task.  row_number then runs over the k
+    survivors only."""
     w = Window.orderBy(*order_cols)
-    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (df.orderBy(*order_cols).limit(k)
+            .withColumn("rk", F.row_number().over(w)))
 
 
 def group_fold_min(df: DataFrame, key: str, val: str) -> DataFrame:
@@ -68,16 +74,23 @@ def dictionary_encode(df: DataFrame, col: str) -> DataFrame:
 
     The reference assigns ids in hash order; we pin lexicographic order
     (deterministic, parallel-friendly: dense_rank over sorted distinct).
+    NULL gets no dictionary row: a NULL key can never match the apply
+    join anyway, and Spark windows sort NULLS FIRST while DuckDB's
+    dense_rank sorts NULLS LAST — excluding it keeps the non-null ids
+    identical across engines.
     """
     return (
         df.select(col)
+        .where(F.col(col).isNotNull())
         .distinct()
         .withColumn("str_id", F.dense_rank().over(Window.orderBy(col)) - 1)
     )
 
 
 def dictionary_apply(df: DataFrame, dictionary: DataFrame, col: str) -> DataFrame:
-    """R20: replace string col by its dense id (broadcast join)."""
+    """R20: attach the dense id for ``col`` (broadcast left join; the
+    string column is kept — select it away when not wanted).  Strings
+    absent from the dictionary (and NULLs) get str_id NULL."""
     return df.join(F.broadcast(dictionary), col, "left")
 
 

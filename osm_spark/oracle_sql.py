@@ -15,8 +15,10 @@ from osm_spark.geo import kernels as K
 # documents geocode CTE — mirrors operators.geocode.geocode_id_cols
 PTS_CTE = (
     "pts AS (SELECT doc_id, "
-    f"{FX.LAT0} + (doc_id * {FX.GEO_A}) % {FX.SPAN} AS lat, "
-    f"{FX.LON0} + (doc_id * {FX.GEO_B}) % {FX.SPAN} AS lon FROM documents)"
+    f"{FX.LAT0} + ((((doc_id % {FX.SPAN}) + {FX.SPAN}) % {FX.SPAN})"
+    f" * CAST({FX.GEO_A % FX.SPAN} AS BIGINT)) % {FX.SPAN} AS lat, "
+    f"{FX.LON0} + ((((doc_id % {FX.SPAN}) + {FX.SPAN}) % {FX.SPAN})"
+    f" * CAST({FX.GEO_B % FX.SPAN} AS BIGINT)) % {FX.SPAN} AS lon FROM documents)"
 )
 
 

@@ -241,3 +241,31 @@ def test_ppm_crlf_and_histogram_bins(spark):
         byte_histogram_features(df, bins=10)
     out = byte_histogram_features(df, bins=256).collect()
     assert len(out[0].features) == 256
+
+
+def test_median_split_keeps_null_coords(spark):
+    """NULL coordinates go to the low branch deterministically instead
+    of vanishing at the next level's join on a NULL part key."""
+    from osm_spark.operators.cluster import median_split_assign
+
+    rows = [(i, i * 10**5, i * 10**5) for i in range(32)] + \
+           [(100, None, None), (101, None, 5 * 10**5)]
+    df = spark.createDataFrame(rows, "doc_id long, lat long, lon long")
+    out = median_split_assign(df, levels=3)
+    assert out.count() == 34            # nothing dropped
+    parts = {r.doc_id: r.part for r in out.collect()}
+    assert parts[100] == 0              # all-NULL row: lowest leaf
+
+
+def test_geocode_negative_and_huge_ids_match_fixture(spark):
+    """Spark geocode == numpy fixture for negative and > 2^33 ids (the
+    floored, overflow-safe formula on both engines)."""
+    from osm_spark import fixtures as FX
+    from osm_spark.operators.geocode import geocode_ids
+
+    ids = [1, -1, -999999, 2**40, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: (r.lat, r.lon)
+           for r in geocode_ids(df, "doc_id").collect()}
+    la, lo = FX.geocode_ints(ids)
+    assert got == {i: (a, o) for i, a, o in zip(ids, la.tolist(), lo.tolist())}
