@@ -24,14 +24,22 @@ def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bo
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
-    """``target`` is a catalog table name (contains no '/') or a path."""
+    """``target`` is a catalog table name (contains no '/') or a path.
+
+    Table-name targets use the Iceberg format only when the catalog is
+    actually Iceberg-backed (``iceberg_available``); otherwise they
+    degrade to the session catalog's default source — the documented
+    sandbox behavior, instead of 'Failed to find data source'."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     if "/" in target:
         w.parquet(target)
-    else:
+    elif iceberg_available(df.sparkSession, target.split(".")[0]) \
+            or iceberg_available(df.sparkSession):
         w.format("iceberg").saveAsTable(target)
+    else:
+        w.saveAsTable(target)
 
 
 def read_table(spark: SparkSession, target: str) -> DataFrame:

@@ -70,13 +70,19 @@ def classify_sql_case(key_col: str, val_col: str, classifier: Classifier,
     per_key: dict[str, list[tuple[str, int]]] = {}
     for (k, v), c in value_map.items():
         per_key.setdefault(k, []).append((v, c))
+
+    def q(s: str) -> str:          # SQL string literal ('' escaping)
+        return "'" + s.replace("'", "''") + "'"
+
     branches = []
-    for k in sorted(per_key):
+    # union with key_def: a key carrying ONLY a default (e.g. a 'not'
+    # rule with an empty value list) still needs a branch
+    for k in sorted(set(per_key) | set(key_def)):
         whens = " ".join(
-            f"WHEN '{v}' THEN {c}" for v, c in sorted(per_key[k]))
+            f"WHEN {q(v)} THEN {c}" for v, c in sorted(per_key.get(k, [])))
         d = key_def.get(k)
         default = none if d is None else d
-        branches.append(
-            f"WHEN {key_col} = '{k}' THEN "
-            f"(CASE {val_col} {whens} ELSE {default} END)")
+        inner = (f"(CASE {val_col} {whens} ELSE {default} END)"
+                 if whens else str(default))
+        branches.append(f"WHEN {key_col} = {q(k)} THEN {inner}")
     return f"(CASE {' '.join(branches)} ELSE {none} END)"

@@ -87,4 +87,7 @@ def profiled_way_refs(way_refs: DataFrame, profile: DataFrame,
     """Join the profile onto the refs list, shaped for
     ``routing.extract_edges`` (carries speed + oneway per ref row;
     non-routable ways drop out via the inner join)."""
-    return way_refs.join(F.broadcast(profile), way_col)
+    # plain equi-join: AQE broadcasts when the profile side is small;
+    # a forced broadcast would break past Spark's 8 GB table limit on
+    # a planet extract (~10^8 routable ways)
+    return way_refs.join(profile, way_col)

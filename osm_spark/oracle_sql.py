@@ -95,18 +95,16 @@ def knn_features_values(n: int = 32) -> str:
     return ",".join(f"({f},{la},{lo})" for f, la, lo in knn_features(n))
 
 
-# --- z-order bit-dilation steps (mirrors kernels.dilate) ---------------
-_DILATE = [
-    (16, 0x0000FFFF0000FFFF),
-    (8, 0x00FF00FF00FF00FF),
-    (4, 0x0F0F0F0F0F0F0F0F),
-    (2, 0x3333333333333333),
-    (1, 0x5555555555555555),
-]
+# --- z-order bit-dilation steps: THE kernel's table, not a copy — the
+# oracle's validity rests on bit-matching kernels.dilate, so a second
+# hand-maintained (shift, mask) list would be a silent drift hazard
+_DILATE = K._DILATE_MASKS
 
 
-def zorder_ctes_duckdb() -> str:
-    """CTE chain dilating u,v (15-bit cell coords) then interleaving."""
+def zorder_ctes_duckdb() -> tuple[str, str]:
+    """(ctes, last_cte_name): CTE chain dilating u,v (15-bit cell
+    coords).  The final CTE exposes (doc_id, u, v) — the caller
+    interleaves with ((u << 1) | v)."""
     steps = [
         f"uv AS (SELECT doc_id, (lat - {FX.LAT0}) // 2048 AS u, "
         f"(lon - {FX.LON0}) // 2048 AS v FROM pts)"

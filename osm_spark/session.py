@@ -32,9 +32,17 @@ def get_spark(
         shuffle_partitions = 32 if cores in ("*",) else max(int(cores), 4)
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    builder = SparkSession.builder.appName(app_name)
+    # only pin local[] / loopback when no cluster master was supplied:
+    # programmatic master/driver.host would OVERRIDE spark-submit
+    # --master yarn/k8s, blocking cluster deployment
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cores}]") \
+            .config("spark.driver.host", "127.0.0.1")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,7 +53,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.host", "127.0.0.1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
