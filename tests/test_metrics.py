@@ -50,3 +50,21 @@ def test_pipeline_stage_metrics_and_resume(spark, tmp_path):
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     recs2 = pl2.lineage()
     assert [r.get("resumed") for r in recs2[-2:]] == [True, True]
+
+
+def test_io_write_read_table_paths(spark, tmp_path):
+    """io.write_table/read_table: path targets round-trip as parquet;
+    table-name targets degrade to the session catalog (no Iceberg jar
+    here) instead of failing on a missing data source."""
+    from osm_spark import io as OIO
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    p = str(tmp_path / "t.parquet")
+    OIO.write_table(df, p)
+    assert OIO.read_table(spark, p).count() == 2
+    assert not OIO.iceberg_available(spark)
+    OIO.write_table(df, "osm_spark_io_test", mode="overwrite")
+    try:
+        assert OIO.read_table(spark, "osm_spark_io_test").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS osm_spark_io_test")
