@@ -69,8 +69,9 @@ def main():
     from osm_spark.operators.spatial_join import broadcast_polygon_index, spatial_join
     from osm_spark.session import get_spark
 
+    cpus_n = os.cpu_count() if cpus == "*" else int(cpus)
     spark = get_spark("osm_spark_bench", cores=cpus,
-                      shuffle_partitions=max(int(cpus) * 2, 8))
+                      shuffle_partitions=max(cpus_n * 2, 8))
     pages_path = ensure_pages(spark, sf)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
@@ -111,13 +112,29 @@ def main():
         # q4: kNN nearest feature (k=1)
         ("knn", lambda: knn_join(geo, feats, k=1, cell_zoom=8, radius=2).count()),
     ]
+    known = {n for n, _ in queries}
+    unknown = only_set - known
+    if unknown:
+        raise SystemExit(f"unknown SPARK_GRAFT_QUERIES names: "
+                         f"{sorted(unknown)} (known: {sorted(known)})")
     queries = [(n, fn) for n, fn in queries if not only_set or n in only_set]
 
-    # untimed warm-up: spin up python workers + JIT on a small slice
+    # untimed warm-up: spin up python workers + JIT on a small slice of
+    # EVERY selected query (scaling.py runs with reps=1, so a query
+    # left cold would fold its first-batch cost into its only sample)
     small = geo.limit(2000)
-    spatial_join(small, polys, how="left", index=poly_index).count()
-    T.page_tiles(small).agg(F.sum(F.col("x") + F.col("y"))).first()
-    knn_join(small, feats, k=1, cell_zoom=8, radius=2).count()
+    small_polys = polys.limit(50)
+    warmups = {
+        "spatial_join": lambda: spatial_join(
+            small, polys, how="left", index=poly_index).count(),
+        "tile_assign_pages": lambda: T.page_tiles(small).agg(
+            F.sum(F.col("x") + F.col("y"))).first(),
+        "tile_assign_features": lambda: T.feature_tiles(small_polys).count(),
+        "knn": lambda: knn_join(small, feats, k=1, cell_zoom=8,
+                                radius=2).count(),
+    }
+    for n, _ in queries:
+        warmups[n]()
 
     samples: dict[str, list[float]] = {n: [] for n, _ in queries}
     for _ in range(reps):                      # interleaved rep loop
@@ -137,7 +154,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "n_pages": n_pages,
-        "cpus": int(cpus),
+        "cpus": cpus_n,
         "reps": reps,
         "pages_per_sec_spatial_join": e2e_rate,
     }))

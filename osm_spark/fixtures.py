@@ -128,8 +128,11 @@ def small_polygons(n_small=1500, id_offset=5):
     # 2 polygons straddling z12 tile-x boundaries (tile width = 360/4096 deg)
     tile_w = 360 * FIXED_POINT // 4096
     for j, fid in enumerate([id_offset + n_small, id_offset + n_small + 1]):
-        edge_lon = ((LON0 + SPAN // 3 * (j + 1)) // tile_w) * tile_w - 180 * FIXED_POINT
-        # recenters on a tile boundary; note world box starts at lon 0 >= 0
+        # lon tile boundaries sit at -180deg + k*tile_w: shift into the
+        # 0-based tile grid BEFORE flooring, then shift back — snapping
+        # each straddler onto the distinct boundary nearest SPAN*(j+1)/3
+        edge_lon = ((LON0 + SPAN // 3 * (j + 1) + 180 * FIXED_POINT)
+                    // tile_w) * tile_w - 180 * FIXED_POINT
         edge_lon = max(edge_lon, LON0 + tile_w)
         lats, lons = star_ring(edge_lon, LAT0 + SPAN // 2 + j * 1_000_000, 400_000, 9, seed=fid)
         polys.append({"feature_id": fid, "category": 7, "layer": 0, "rings": [{"role": 0, "lat": lats, "lon": lons}]})
@@ -168,8 +171,9 @@ def polygons_df(spark, n_small=1500):
 def _page_coords(i):
     """Vectorized deterministic page coordinates with city skew."""
     i = np.asarray(i, dtype=np.int64)
-    h1 = (i * GEO_A) % SPAN
-    h2 = (i * GEO_B) % SPAN
+    m = i % SPAN                      # reduce first: i*GEO_A wraps
+    h1 = (m * (GEO_A % SPAN)) % SPAN  # int64 past ~3.5e9 ids
+    h2 = (m * (GEO_B % SPAN)) % SPAN
     h3 = (i * 40503) % 100
     city = (i * 31) % 5
     clat = np.array([c[0] for c in CITY_CENTERS])[city]

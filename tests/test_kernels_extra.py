@@ -136,3 +136,25 @@ def test_midpoints_in_ring_world_span_exact():
     y2 = np.array([0, 890_000_000], np.int64)
     got = K.midpoints_in_ring(x1, y1, x2, y2, px, py)
     assert list(got) == [True, False]
+
+
+def test_fixture_straddlers_on_distinct_tile_boundaries():
+    """The two straddler fixtures must sit ON different z12 tile-x
+    boundaries (a dead-arithmetic bug once collapsed both onto the
+    lowest boundary)."""
+    from osm_spark import fixtures as FX
+
+    tile_w = 360 * FX.FIXED_POINT // 4096
+    ps = FX.small_polygons(10)
+    straddlers = [p for p in ps if p["feature_id"] in (15, 16)]
+    assert len(straddlers) == 2
+    centers = []
+    for p in straddlers:
+        lons = p["rings"][0]["lon"]
+        lo, hi = min(lons), max(lons)
+        # find the boundary inside the ring's lon extent
+        k = (lo + 180 * FX.FIXED_POINT) // tile_w + 1
+        b = k * tile_w - 180 * FX.FIXED_POINT
+        assert lo < b < hi          # genuinely straddles a boundary
+        centers.append(b)
+    assert centers[0] != centers[1]  # two DIFFERENT boundaries

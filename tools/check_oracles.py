@@ -71,10 +71,15 @@ def main():
     n_fail = 0
     for name in names:
         t0 = time.time()
+        if name not in qs:
+            print(f"FAIL  {name:24s} unknown query name")
+            n_fail += 1
+            continue
         try:
             sdf = qs[name](spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spd = sdf.toPandas()          # single Spark execution —
+            scols = sdf.columns           # rows derive from the same df
+            srows = list(spd.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name:24s} spark error: {e}")
             n_fail += 1
@@ -87,8 +92,9 @@ def main():
             continue
         try:
             res = con.sql(oracles[name])
-            drows = res.fetchall()
-            dcols = res.columns
+            dpd = res.df()                # single DuckDB execution
+            dcols = list(dpd.columns)
+            drows = list(dpd.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name:24s} duckdb error: {str(e)[:200]}")
             n_fail += 1
@@ -106,8 +112,6 @@ def main():
         ok_pandas = True
         if ok_cols:
             try:
-                spd = sdf.toPandas()
-                dpd = res.df()
                 def kind(dt: str) -> str:
                     # driver hashing is int-width-insensitive (r01 evidence:
                     # g17_knn passed with int32-vs-int64 drift) but breaks on
@@ -149,6 +153,11 @@ def main():
                     print(f"      spark : {a[:160]}")
                     print(f"      duckdb: {b[:160]}")
                     break
+    stale = sorted(set(oracles) - set(qs))
+    if stale and not args.names:
+        print(f"\nFAIL: oracle_sql() keys with no queries() entry "
+              f"(never validated): {stale}")
+        n_fail += 1
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
     spark.stop()
     return 1 if n_fail else 0

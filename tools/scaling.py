@@ -40,8 +40,12 @@ def run_bench(sf_dir: str, cpus: int, pages: int = 0, queries: str = "") -> dict
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, cwd=str(REPO),
     )
-    line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
-    return json.loads(line)
+    lines = [x for x in out.stdout.splitlines() if x.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py (cpus={cpus}) failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():
@@ -71,6 +75,11 @@ def main():
             q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
         }
         best["value"] = round(sum(best["queries"].values()), 3)
+        # keep derived fields consistent with the min-merged times
+        # (rep 1's throughput must not contradict rep 2's min)
+        if "spatial_join" in best["queries"]:
+            best["pages_per_sec_spatial_join"] = round(
+                best["n_pages"] / best["queries"]["spatial_join"], 1)
         results[cpus] = best
 
     lo, hi = results[args.cores_low], results[args.cores_high]
@@ -106,7 +115,7 @@ def main():
 
 Protocol (BASELINE.md / north rule): same benchmark job, same input
 ({n_pages:,} synthetic Common-Crawl-style pages, polygon layer of
-{os.environ.get('SPARK_GRAFT_POLYS', '1500')}+3 features incl. hot city
+{os.environ.get('SPARK_GRAFT_POLYS', '1500')}+8 features (5 hot city
 cells, {os.environ.get('SPARK_GRAFT_KNN_FEATS', '256')} kNN features),
 run in separate processes at local[{args.cores_low}] and
 local[{args.cores_high}] — the sandbox stand-in for N and 4N executors.
