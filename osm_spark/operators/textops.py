@@ -121,6 +121,25 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", langid_col(F.col(text_col)))
 
 
+_TAG_RE = None
+
+
+def extract_text_py(html: bytes) -> str:
+    """Python twin of ``extract_text_col`` — byte-identical output
+    (pinned by test_text_invariant's twin-parity test).  Used by the
+    WARC decoder's text-only projection, where extraction must happen
+    INSIDE the decode mapper so html bytes never cross the Arrow
+    boundary; everywhere else prefer the JVM column (whole-stage
+    codegen, no Python workers)."""
+    global _TAG_RE
+    if _TAG_RE is None:
+        import re
+        _TAG_RE = re.compile(r"(?s)<head>.*?</head>|<[^>]*>")
+    t = html.decode("utf-8", "replace")
+    t = _TAG_RE.sub("", t)
+    return t.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
 def extract_text_col(html: Column) -> Column:
     """HTML -> extracted text, pure JVM expressions (whole-stage
     codegen; no Python workers): drop the <head> block, strip tags,

@@ -246,3 +246,82 @@ def test_empty_cdx_side_file_distrusted(spark, tmp_path):
     assert len(walked) == 1 + 2 * WF.N_PAGES  # warcinfo + req/resp per page
     assert warc.warc_index(spark, p).count() == len(walked)
     assert warc.read_warc_pages(spark, p).count() > 0
+
+
+def test_malformed_cdx_side_file_distrusted(spark, tmp_path):
+    """A cdx whose every line is malformed must behave like the empty
+    side file (fall back to walking), not scan to zero records."""
+    p = str(tmp_path / "bad.warc.gz")
+    WF.write_sample(p)
+    with open(p + ".cdx", "w") as f:
+        f.write("garbage lines\nnot numbers here\n")
+    walked = list(warc.iter_warc_index(p))
+    assert len(walked) == 1 + 2 * WF.N_PAGES
+    assert warc.warc_index(spark, p).count() == len(walked)
+
+
+def test_text_only_projection_matches_full(spark, warc_path):
+    """columns=('url','warc_ts','text',...) extracts text INSIDE the
+    decode mapper (python twin) — output must equal the full path's
+    JVM extraction byte-for-byte, with no html column in the plan."""
+    full = warc.read_warc_pages(spark, warc_path).withColumn(
+        "text", extract_text_col(F.col("html")))
+    want = {r.url: (r.warc_ts, r.text) for r in full.collect()}
+    txt = warc.read_warc_pages_text(spark, warc_path)
+    assert "html" not in txt.columns
+    got = {r.url: (r.warc_ts, r.text) for r in txt.collect()}
+    assert got == want
+    langs = {r.lang for r in txt.collect()}
+    assert langs  # lang derived JVM-side from the projected text
+
+
+def test_extract_text_py_twin_parity(spark):
+    """The python extractor twin must be byte-identical to the JVM
+    column on adversarial html, not just the fixture corpus."""
+    from osm_spark.operators import textops as TX
+
+    cases = [
+        b"<html><head><title>x</title></head><body>a &amp; b</body></html>",
+        b"<p>&lt;tag&gt; &amp;amp; deep</p>",
+        "<div>unicode é中文</div>".encode(),
+        b"no tags at all",
+        b"<head>only head</head>",
+        b"<a href='x>y'>weird</a> trailing <unclosed",
+        b"",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html binary")
+    jvm = [r.t for r in df.select(
+        extract_text_col(F.col("html")).alias("t")).collect()]
+    py = [TX.extract_text_py(c) for c in cases]
+    assert py == jvm
+
+
+def test_distributed_gz_walk_matches_serial(spark, tmp_path):
+    """Chunked member-resync walk (ranges + magic verify) must produce
+    exactly the serial walker's (offset, size) set."""
+    p = str(tmp_path / "dist.warc.gz")
+    WF.write_scaled(p, n_pages=300, text_repeat=3)
+    import os as _os
+    _os.remove(p + ".cdx") if _os.path.exists(p + ".cdx") else None
+    serial = {(o, s) for o, s, _ in warc.iter_warc_index(p)}
+    # chunk far smaller than the file so many ranges must resync
+    fsize = _os.path.getsize(p)
+    chunk = max(fsize // 7, 1024)
+    dist = {(r.offset, r.size) for r in
+            warc.warc_index_gz_distributed(spark, p, chunk_bytes=chunk)
+            .collect()}
+    assert dist == serial and len(serial) > 100
+
+
+def test_large_gz_auto_uses_distributed_walk(spark, tmp_path, monkeypatch):
+    """warc_index switches to the distributed walk above the size
+    threshold; decode output is unchanged."""
+    p = str(tmp_path / "auto.warc.gz")
+    WF.write_sample(p)
+    import os as _os
+    if _os.path.exists(p + ".cdx"):
+        _os.remove(p + ".cdx")
+    monkeypatch.setenv("OSM_SPARK_WARC_WALK_DISTRIBUTED_MIN", "1")
+    idx = warc.warc_index(spark, p)
+    assert idx.count() == 1 + 2 * WF.N_PAGES
+    assert warc.read_warc_pages(spark, p, ).count() > 0

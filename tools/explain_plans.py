@@ -186,6 +186,21 @@ def main():
         "are never shuffled.",
         must_contain=("MapInPandas",),
     )
+    wtxt = warc.read_warc_pages_text(spark, warc_path)
+    plan_wtxt = fmt(wtxt)
+    checks.append(("WARC decode — text-only projection", "MapInPandas",
+                   "MapInPandas" in plan_wtxt))
+    checks.append(("WARC decode — text-only projection", "no html column",
+                   "html" not in plan_wtxt))
+    sections.append(
+        "## WARC decode — text-only projection\n\n"
+        "`read_warc_pages_text`: html→text runs INSIDE the decode "
+        "mapper (the byte-identical python twin of the JVM extractor), "
+        "so html bytes never cross the Arrow boundary — the plan "
+        "carries no `html` column at all.  This halves the mapper's "
+        "Arrow transfer for text-only pipelines; the full reader keeps "
+        "the byte-identity contract.\n\n"
+        f"```\n{plan_wtxt.strip()}\n```\n")
     e2e = entrymod.q_e2e_warc_geo(spark, sf)
     plan_e2e = fmt(e2e)
     checks.append(("Composed WARC->geo chain", "no CartesianProduct",

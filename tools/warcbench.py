@@ -1,14 +1,26 @@
 """WARC-source decode throughput at two parallelism levels.
 
 Same protocol as tools/scaling.py (north-rule evidence): the identical
-job — cdx index scan + parallel span-read gzip-member decode + JVM
-html→text + aggregate — run as a SEPARATE PROCESS per (level, rep),
-levels interleaved so a co-tenant noise window cannot inflate one level
-only, per-level MINIMUM across reps, an untimed warm-up pass inside
-each process.  Raw JSON → BENCH/warcbench.json, one JSON line printed.
+job run as a SEPARATE PROCESS per (level, rep, mode), levels
+interleaved so a co-tenant noise window cannot inflate one level only,
+per-level MINIMUM across reps, an untimed warm-up pass inside each
+process.  Raw JSON → BENCH/warcbench.json, one JSON line printed.
+
+Two chain modes, both cdx index scan + parallel span-read gzip-member
+decode + text + aggregate:
+
+- ``full``: decode emits html binary through Arrow, html→text runs
+  JVM-side (read_warc_pages + extract_text_col) — the byte-identity
+  pipeline shape;
+- ``text``: decode extracts text INSIDE the mapper (extract_text_py)
+  and never ships html through Arrow (read_warc_pages_text) — the
+  projection a text-only pipeline should use; about half the Arrow
+  transfer, which is what limited chain scaling in round 3
+  (BENCH/warcbench.json history: 0.5-0.6 at 2→8 vs 0.83-0.90 for the
+  pure decode kernel).
 
 Usage: python tools/warcbench.py [n_pages] [reps]
-       python tools/warcbench.py --child <cores> <path>   (internal)
+       python tools/warcbench.py --child <cores> <mode> <path>  (internal)
 """
 
 from __future__ import annotations
@@ -23,9 +35,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 LEVELS = (2, 8)
+MODES = ("full", "text")
 
 
-def child(cores: int, path: str) -> None:
+def child(cores: int, mode: str, path: str) -> None:
     from pyspark.sql import functions as F
 
     from osm_spark.operators import textops as TX
@@ -37,9 +50,13 @@ def child(cores: int, path: str) -> None:
 
     def job() -> float:
         t0 = time.perf_counter()
-        pages = warc.read_warc_pages(spark, path)
-        out = pages.select(
-            F.length(TX.extract_text_col(F.col("html"))).alias("n"))
+        if mode == "text":
+            pages = warc.read_warc_pages_text(spark, path)
+            out = pages.select(F.length("text").alias("n"))
+        else:
+            pages = warc.read_warc_pages(spark, path)
+            out = pages.select(
+                F.length(TX.extract_text_col(F.col("html"))).alias("n"))
         out.agg(F.sum("n"), F.count("*")).collect()
         return time.perf_counter() - t0
 
@@ -48,12 +65,15 @@ def child(cores: int, path: str) -> None:
     spark.stop()
 
 
-def run_child(cores: int, path: str) -> float:
+def run_child(cores: int, mode: str, path: str) -> float:
     out = subprocess.run(
-        [sys.executable, __file__, "--child", str(cores), path],
+        [sys.executable, __file__, "--child", str(cores), mode, path],
         capture_output=True, text=True, timeout=900, cwd=str(REPO))
-    line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
-    return json.loads(line)["sec"]
+    lines = [x for x in out.stdout.splitlines() if x.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(f"warcbench child failed rc={out.returncode}: "
+                           f"{out.stderr[-1500:]}")
+    return json.loads(lines[-1])["sec"]
 
 
 def main() -> int:
@@ -66,29 +86,33 @@ def main() -> int:
     if not path.exists():
         warc_fixture.write_scaled(str(path), n_pages)
 
-    best: dict[int, float] = {}
+    best: dict[tuple, float] = {}
     for rep in range(reps):
-        for cores in LEVELS:                 # interleaved levels
-            t = run_child(cores, str(path))
-            best[cores] = min(best.get(cores, float("inf")), t)
-            print(f"rep {rep} local[{cores}]: {t:.3f} s", file=sys.stderr)
+        for mode in MODES:
+            for cores in LEVELS:             # interleaved levels
+                t = run_child(cores, mode, str(path))
+                k = (mode, cores)
+                best[k] = min(best.get(k, float("inf")), t)
+                print(f"rep {rep} {mode} local[{cores}]: {t:.3f} s",
+                      file=sys.stderr)
     lo, hi = LEVELS
-    eff = (best[lo] / best[hi]) / (hi / lo)
-    result = {
-        "n_pages": n_pages, "reps": reps,
-        f"local{lo}_sec": round(best[lo], 3),
-        f"local{hi}_sec": round(best[hi], 3),
-        f"pages_per_sec_local{lo}": round(n_pages / best[lo], 1),
-        f"pages_per_sec_local{hi}": round(n_pages / best[hi], 1),
-        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
-    }
-    (REPO / "BENCH" / "warcbench.json").write_text(json.dumps(result))
+    result: dict = {"n_pages": n_pages, "reps": reps}
+    for mode in MODES:
+        eff = (best[(mode, lo)] / best[(mode, hi)]) / (hi / lo)
+        result[mode] = {
+            f"local{lo}_sec": round(best[(mode, lo)], 3),
+            f"local{hi}_sec": round(best[(mode, hi)], 3),
+            f"pages_per_sec_local{lo}": round(n_pages / best[(mode, lo)], 1),
+            f"pages_per_sec_local{hi}": round(n_pages / best[(mode, hi)], 1),
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        }
+    (REPO / "BENCH" / "warcbench.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
     return 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), sys.argv[3])
+        child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         raise SystemExit(0)
     raise SystemExit(main())
