@@ -80,8 +80,21 @@ _STATE_SCHEMA = "ts array<long>, cents array<long>"
 
 
 def sessionize(events: DataFrame, gap_s: int = 1800,
-               watermark: str = "2 hours") -> DataFrame:
+               watermark: str = "2 hours",
+               exclude_user: int | None = None) -> DataFrame:
     """Stateful sessionization: events per user split at gaps > gap_s.
+
+    Drain semantics: on a bounded replay (``availableNow``) the
+    watermark never advances past the final real events, so sessions
+    still pending at drain are NOT emitted — by design for an unbounded
+    stream (they may yet grow), but an undercount for a closed input.
+    For bounded replays, stage the input with
+    ``stage_flush_dir`` (appends one far-future sentinel event that
+    pushes the watermark past every real session's closing gap) and
+    pass ``exclude_user=FLUSH_SENTINEL_USER``: the sentinel advances
+    the watermark at the ``withWatermark`` node but its group is
+    swallowed inside the stateful operator (no state, no output), so
+    every real session is emitted and none is fabricated.
 
     Streaming path: ``applyInPandasWithState`` buffering each user's
     pending events in state and emitting a session only once the
@@ -100,6 +113,23 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
+        if exclude_user is not None and user == exclude_user:
+            # sentinel exclusion lives HERE, inside the stateful
+            # operator, not as a plan-level filter: Catalyst's
+            # PushPredicateThroughNonJoin pushes a user_id predicate
+            # BELOW the EventTimeWatermark node (it doesn't reference
+            # the event-time column), which would silently stop the
+            # sentinel from ever advancing the watermark — the exact
+            # flush it exists to provide.  The sentinel group consumes
+            # its input, stores no state, emits no sessions.
+            for _ in pdfs:
+                pass
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                [], columns=["user_id", "session_start", "n_events",
+                             "sum_cents"])
+            return
         rows = []
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
@@ -153,8 +183,9 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
                         wm_ms + 1))
             elif state.exists:
                 state.remove()
-        elif state.exists and state.hasTimedOut:
-            state.remove()
+        # no `elif state.hasTimedOut: remove()` branch: state is never
+        # stored with an empty buffer, so a timed-out group always has
+        # buf_ts and takes the branch above (test_timeout_emits pins this)
         yield pd.DataFrame(
             rows, columns=["user_id", "session_start", "n_events", "sum_cents"])
 
@@ -166,6 +197,39 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FLUSH_SENTINEL_USER = -(1 << 62)
+
+
+def stage_flush_dir(spark: SparkSession, src_path: str, landing_dir: str,
+                    gap_s: int, watermark_s: int) -> None:
+    """Stage a bounded events directory for a fully-flushed replay.
+
+    Copies ``src_path`` into ``landing_dir`` (via Spark, so any Hadoop
+    FileSystem scheme works) and then appends ONE sentinel event with
+    ``user_id = FLUSH_SENTINEL_USER`` and
+    ``ts = max(ts) + watermark + gap + 2s``.  During an
+    ``availableNow`` replay the sentinel drives the final watermark
+    past every real session's closing gap, so ``sessionize(...,
+    exclude_user=FLUSH_SENTINEL_USER)`` emits every session of the
+    closed input (batch/stream parity on totals, not just on closed
+    prefixes).  The sentinel file is written LAST so the file source's
+    mtime-ascending ordering cannot process it before real data (a
+    sentinel-first batch would advance the watermark over yet-unread
+    late files).  Bounded-replay utility only — an unbounded stream
+    has no end to flush.
+    """
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(src_path)
+    ev.write.mode("overwrite").parquet(landing_dir)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sent = spark.sql(
+        "SELECT CAST(-1 AS LONG) event_id, "
+        f"timestamp'{max_ts}' + make_interval(0,0,0,0,0,0,{gap_s + watermark_s + 2}) ts, "
+        f"CAST({FLUSH_SENTINEL_USER} AS LONG) user_id, "
+        "'__flush__' event_type, CAST(0.0 AS DOUBLE) value, "
+        "CAST(NULL AS STRING) props")
+    sent.coalesce(1).write.mode("append").parquet(landing_dir)
 
 
 def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:

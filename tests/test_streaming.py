@@ -80,6 +80,29 @@ def test_sessionize_batch_properties(spark):
     assert (agg.n, agg.c) == (raw.n, raw.c)  # partition of all events
 
 
+def test_sessionize_flush_full_parity(tmp_path, spark):
+    """Flushed bounded replay == batch twin EXACTLY (including each
+    user's final session).  Also pins the timeout-emission behavior: the
+    sentinel advances the watermark in the final no-data batch, so every
+    pending (non-empty) state times out and emits its sessions."""
+    gap = 28800
+    landing = str(tmp_path / "landing")
+    SE.stage_flush_dir(spark, f"{SF_DIR}/events.parquet", landing,
+                       gap_s=gap, watermark_s=7200)
+    got_df = SE.run_available_now(
+        SE.sessionize(SE.read_events_stream(spark, landing), gap_s=gap,
+                      watermark="2 hours",
+                      exclude_user=SE.FLUSH_SENTINEL_USER),
+        "t_flush_sessions", "append")
+    got = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+           for r in got_df.collect()}
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {(r.user_id, r.session_start, r.n_events, r.sum_cents)
+            for r in SE.sessionize_batch(batch, gap_s=gap).collect()}
+    assert got == want
+    assert not any(u == SE.FLUSH_SENTINEL_USER for u, *_ in got)
+
+
 def test_sessionize_stream_late_event_parity(tmp_path, spark):
     """A LATE event (within the watermark) arriving in a later
     micro-batch must land in its correct session — extending it and
