@@ -548,19 +548,65 @@ def write_partitioned_layer(polys: DataFrame, path: str,
     return path
 
 
+# span-group byte budget for the partitioned-join mapper: Arrow batches
+# accumulate only up to this bound before matching/emitting, so worker
+# memory stays O(budget + layer-slice), not O(partition) — at 100x page
+# density a partition is GBs and must never materialize whole in one
+# Python worker
+PJOIN_BATCH_BYTES = 64 << 20
+
+
 def _partitioned_join_mapper(layer_path: str, z: int, how: str,
                              page_key: str):
+    import os
+
+    budget = int(os.environ.get(
+        "OSM_SPARK_PJOIN_BATCH_BYTES", PJOIN_BATCH_BYTES))
+
     def fn(batches):
         import pyarrow.dataset as pads
 
         dataset = pads.dataset(layer_path, format="parquet")
-        # one read + one index build per PARTITION (its batches
-        # materialize first — bounded by partition sizing): the
-        # partition holds whole coarse cells, so the layer read is an
-        # isin over its coarse keys, pruned by row-group stats on the
-        # gkey-sorted file
-        parts = [b for b in batches if len(b)]
-        for pdf in ([pd.concat(parts)] if parts else []):
+        # lazy per-partition layer-index cache: the partition holds
+        # whole coarse cells, so the gkey set — and therefore the layer
+        # slice — is fixed per partition; the first span group reads
+        # (and prunes by row-group stats on the gkey-sorted file) the
+        # cells it touches, later groups only read cells not yet seen.
+        # The vectorized index rebuild on a cache miss is effectively
+        # free (BENCH/ANALYSIS.md round-3 floor decomposition).
+        seen_gk: set[int] = set()
+        have_fid: set[int] = set()
+        layer_parts: list[pd.DataFrame] = []
+        index = None
+
+        def ensure_index(gk: np.ndarray):
+            nonlocal index
+            miss = [int(v) for v in np.unique(gk) if int(v) not in seen_gk]
+            if miss:
+                seen_gk.update(miss)
+                tbl = dataset.to_table(
+                    filter=pads.field("gkey").isin(miss))
+                if tbl.num_rows:
+                    # a polygon spanning k cells appears k times in the
+                    # file (and across successive range reads); dedupe
+                    # by feature before the index build — the build
+                    # re-registers every covering cell itself
+                    lp = tbl.to_pandas().drop_duplicates("feature_id")
+                    lp = lp[~lp["feature_id"].isin(have_fid)]
+                    if len(lp):
+                        have_fid.update(
+                            int(v) for v in lp["feature_id"].to_numpy())
+                        layer_parts.append(lp)
+                        index = None
+            if index is None and layer_parts:
+                lpdf = (layer_parts[0] if len(layer_parts) == 1
+                        else pd.concat(layer_parts, ignore_index=True))
+                fid_arr = lpdf["feature_id"].to_numpy(np.int64)
+                index = _build_group_index_packed(lpdf, fid_arr, z)
+            return index
+
+        def flush(group: list[pd.DataFrame]) -> pd.DataFrame:
+            pdf = group[0] if len(group) == 1 else pd.concat(group)
             keys = pdf[page_key].to_numpy()
             la = pdf["lat"].to_numpy(np.int64)
             lo = pdf["lon"].to_numpy(np.int64)
@@ -568,22 +614,13 @@ def _partitioned_join_mapper(layer_path: str, z: int, how: str,
             out_k: list[np.ndarray] = []
             out_f: list[np.ndarray] = []
             matched = np.zeros(len(keys), dtype=bool)
-            if len(gk):
-                f = pads.field("gkey")
-                tbl = dataset.to_table(
-                    filter=f.isin([int(v) for v in np.unique(gk)]))
-                if tbl.num_rows:
-                    # a polygon spanning k cells appears k times in the
-                    # range read; dedupe before the index build (the
-                    # build re-registers every covering cell itself)
-                    lpdf = tbl.to_pandas().drop_duplicates("feature_id")
-                    fid_arr = lpdf["feature_id"].to_numpy(np.int64)
-                    index = _build_group_index_packed(lpdf, fid_arr, z)
-                    hits, fids = _match_batch(index, la, lo, z)
-                    if len(hits):
-                        matched[hits] = True
-                        out_k.append(keys[hits])
-                        out_f.append(fids)
+            idx = ensure_index(gk) if len(gk) else None
+            if idx is not None:
+                hits, fids = _match_batch(idx, la, lo, z)
+                if len(hits):
+                    matched[hits] = True
+                    out_k.append(keys[hits])
+                    out_f.append(fids)
             n_miss = 0
             if how == "left":
                 miss = keys[~matched]
@@ -595,10 +632,23 @@ def _partitioned_join_mapper(layer_path: str, z: int, how: str,
             mask = np.zeros(len(kcat), dtype=bool)
             if n_miss:
                 mask[len(kcat) - n_miss:] = True
-            yield pd.DataFrame({
+            return pd.DataFrame({
                 "k": kcat,
                 "feature_id": pd.arrays.IntegerArray(fcat, mask),
             })
+
+        group: list[pd.DataFrame] = []
+        gbytes = 0
+        for b in batches:
+            if not len(b):
+                continue
+            group.append(b)
+            gbytes += int(b.memory_usage(index=False).sum())
+            if gbytes >= budget:
+                yield flush(group)
+                group, gbytes = [], 0
+        if group:
+            yield flush(group)
 
     return fn
 

@@ -144,6 +144,62 @@ def test_partitioned_disk_index_path_agrees(spark, tmp_path):
     assert len(a) > 50
 
 
+def test_partitioned_mapper_streams_bounded(spark, tmp_path, monkeypatch):
+    """The partitioned-join mapper must not materialize its whole input
+    partition (100 TB posture: a partition can be GBs inside one Python
+    worker).  With a 1-byte span budget every batch flushes alone — the
+    first output row group must be emitted before the mapper has pulled
+    the rest of the input — and the match set is unchanged."""
+    import numpy as np
+
+    from osm_spark import fixtures as FX
+    from osm_spark.operators import spatial_join as SJ
+    from osm_spark.operators.geocode import geocode_ids
+
+    docs = geocode_ids(
+        spark.range(1500).withColumnRenamed("id", "doc_id"), "doc_id")
+    polys = FX.polygons_df(spark, 200)
+    layer = SJ.write_partitioned_layer(polys, str(tmp_path / "layer"))
+    a = {(r.doc_id, r.feature_id) for r in
+         SJ.spatial_join_partitioned(docs, layer, page_key="doc_id",
+                                     how="left").collect()}
+
+    monkeypatch.setenv("OSM_SPARK_PJOIN_BATCH_BYTES", "1")
+    b = {(r.doc_id, r.feature_id) for r in
+         SJ.spatial_join_partitioned(docs, layer, page_key="doc_id",
+                                     how="left").collect()}
+    assert a == b and len(a) > 50
+
+    # direct generator probe: the mapper is a plain generator function —
+    # drive it with a pull-counting input and check it yields output
+    # before consuming the whole partition
+    meta = SJ._read_layer_meta(layer)
+    shift = SJ.DEFAULT_CELL_ZOOM - meta["zc"]
+    pts = SJ.with_cell(docs, SJ.DEFAULT_CELL_ZOOM).select(
+        "doc_id", "lat", "lon",
+        SJ._gkey_col(shift).alias("gkey")).toPandas()
+    chunks = [c for c in np.array_split(pts, 8) if len(c)]
+    pulled = 0
+
+    def gen():
+        nonlocal pulled
+        for c in chunks:
+            pulled += 1
+            yield c
+
+    fn = SJ._partitioned_join_mapper(layer, SJ.DEFAULT_CELL_ZOOM,
+                                     "left", "doc_id")
+    it = fn(gen())
+    first = next(it)
+    assert len(first)
+    assert pulled <= 2, f"mapper pulled {pulled}/8 batches before emitting"
+    total = len(first) + sum(len(x) for x in it)
+    # how="left": one row per (doc, matched feature) pair plus one per
+    # unmatched doc — exactly the Spark-path pair set (docs inside
+    # overlapping polygons emit one row per match, so total >= len(pts))
+    assert total == len(a)
+
+
 def test_many_ring_multipolygon_both_paths(spark):
     """A feature with >16 rings (1 outer + 20 holes) next to a second
     feature: exercises ring identity in the cogroup path (round-1 bug:
