@@ -12,6 +12,7 @@ external libs needed, deterministic) or gated behind an import-try
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -165,6 +166,99 @@ def decode_ppm_gray(b: bytes) -> np.ndarray:
             // 1000).astype(np.uint8)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_gray(b: bytes) -> np.ndarray:
+    """Numpy-only decode of a non-interlaced 8-bit PNG (public spec,
+    RFC 2083 / ISO 15948) to grayscale uint8 (h, w): chunk walk, zlib
+    inflate of the IDAT stream, all five scanline filters (None, Sub,
+    Up, Average, Paeth), color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); alpha is ignored, color via the same
+    integer Rec.601 luma as the BMP path."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    idat = []
+    plte = None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln                      # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)) \
+        .reshape(h, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:]
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = nch                              # bytes per pixel at depth 8
+    for y in range(h):
+        f = filters[y]
+        r = rows[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 1:                       # Sub: cumsum per byte lane
+            d = r.reshape(-1, bpp).astype(np.uint32)
+            cur = (np.cumsum(d, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:                       # Up
+            cur = (r.astype(np.uint16) + prev).astype(np.uint8)
+        elif f == 3:                       # Average (sequential in x)
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(r[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                       # Paeth (sequential in x)
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = int(prev[x])
+                pa, pb, pc = abs(p - c), abs(a - c), abs(a + p - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (p if pb <= pc else c)
+                cur[x] = (int(r[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    px = recon.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+        nch = 3
+    if nch == 1 or ctype == 4:
+        return px[:, :, 0].copy()
+    rgb = px[:, :, :3].astype(np.uint32)
+    return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000).astype(np.uint8)
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample: source index
     (i * src) // dst per axis."""
@@ -178,10 +272,10 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
                       fake: bool = False) -> DataFrame:
     """Image decode + resize to width*height grayscale bytes.
 
-    Real decode path: numpy-only BMP (BI_RGB 24/32bpp) and binary
-    netpbm (P6/P5) decoders + nearest-neighbor resize — no external
-    libs.  Other formats fall back to PIL when available and raise
-    ``NotImplementedError`` otherwise.  ``fake=True`` keeps the
+    Real decode path: numpy-only BMP (BI_RGB 24/32bpp), binary netpbm
+    (P6/P5) and non-interlaced 8-bit PNG decoders + nearest-neighbor
+    resize — no external libs.  Other formats (JPEG-class) fall back
+    to PIL when available and raise ``NotImplementedError`` otherwise.  ``fake=True`` keeps the
     clearly-marked deterministic fake (sha256-expanded bytes) for
     plumbing tests over arbitrary payloads."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,9 +305,12 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
                 elif b[:2] in (b"P6", b"P5"):
                     out.append(resize_nearest(
                         decode_ppm_gray(b), width, height).tobytes())
+                elif b[:8] == PNG_SIG:
+                    out.append(resize_nearest(
+                        decode_png_gray(b), width, height).tobytes())
                 elif not have_pil:
                     raise NotImplementedError(
-                        "only BMP/netpbm decode is built in; this payload "
+                        "only BMP/netpbm/PNG decode is built in; this payload "
                         "needs PIL (not available in this environment); "
                         "use fake=True to exercise the plumbing, or "
                         "byte_histogram_features for byte-level features")

@@ -269,3 +269,124 @@ def test_geocode_negative_and_huge_ids_match_fixture(spark):
            for r in geocode_ids(df, "doc_id").collect()}
     la, lo = FX.geocode_ints(ids)
     assert got == {i: (a, o) for i, a, o in zip(ids, la.tolist(), lo.tolist())}
+
+
+def _encode_png(img, ctype, filters, plte=None):
+    """Independent test-side PNG encoder: applies the SPEC's forward
+    filters (the inverse of the decoder under test) with a chosen
+    filter type per row."""
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w * nch).astype(np.int32)
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        cur = px[y]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * nch):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            bb = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = bb
+            elif f == 3:
+                pred = (a + bb) >> 1
+            else:
+                pa, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (bb if pb <= pc else c)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte.reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_golden():
+    """Golden-pixel round trip through every PNG filter type (0-4) and
+    color types gray/RGB/palette/gray+alpha/RGBA, against an
+    independent spec-forward encoder."""
+    import numpy as np
+
+    from osm_spark.operators.multimodal import decode_png_gray
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (10, 9), dtype=np.uint8)
+    # one row per filter type, then wrap
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png_gray(_encode_png(gray, 0, filters))
+        assert (got == gray).all(), filters
+
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    r32 = rgb.astype(np.uint32)   # NEP-50: 587*uint8 would wrap mod 256
+    want = ((299 * r32[:, :, 0] + 587 * r32[:, :, 1]
+             + 114 * r32[:, :, 2]) // 1000).astype(np.uint8)
+    got = decode_png_gray(_encode_png(rgb, 2, [0, 1, 2, 3, 4]))
+    assert (got == want).all()
+
+    # palette: indices map through PLTE then the same luma
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 6), dtype=np.uint8)
+    p32 = plte[idx].astype(np.uint32)
+    pwant = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
+              + 114 * p32[:, :, 2]) // 1000).astype(np.uint8)
+    got = decode_png_gray(_encode_png(idx, 3, [0, 1, 4], plte=plte))
+    assert (got == pwant).all()
+
+    # gray+alpha and RGBA: alpha ignored
+    ga = rng.integers(0, 256, (5, 4, 2), dtype=np.uint8)
+    got = decode_png_gray(_encode_png(ga, 4, [4, 3, 2, 1, 0]))
+    assert (got == ga[:, :, 0]).all()
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    a32 = rgba.astype(np.uint32)
+    want = ((299 * a32[:, :, 0] + 587 * a32[:, :, 1]
+             + 114 * a32[:, :, 2]) // 1000).astype(np.uint8)
+    got = decode_png_gray(_encode_png(rgba, 6, [1, 4, 3]))
+    assert (got == want).all()
+
+    # interlaced and 16-bit are out of scope and must raise, not corrupt
+    import pytest as _pytest
+    bad = bytearray(_encode_png(gray, 0, [0]))
+    bad[28] = 1                          # interlace flag inside IHDR
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png_gray(bytes(bad))
+
+
+def test_png_decode_through_spark_mapper(spark):
+    """PNG payloads flow through decode_and_resize's real (non-fake)
+    mapInPandas path."""
+    import numpy as np
+
+    from osm_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(8):
+        img = rng.integers(0, 256, (12 + i, 10), dtype=np.uint8)
+        rows.append((i, bytearray(_encode_png(img, 0, [i % 5])), img))
+    df = spark.createDataFrame([(i, m) for i, m, _ in rows],
+                               "doc_id long, media binary")
+    got = {r.doc_id: bytes(r.pixels)
+           for r in MM.decode_and_resize(df, 6, 5).collect()}
+    for i, _m, img in rows:
+        want = MM.resize_nearest(img, 6, 5).tobytes()
+        assert got[i] == want, i
