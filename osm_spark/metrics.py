@@ -11,14 +11,14 @@ materializing its output column directory.  The Spark-first equivalent:
 - ``Pipeline`` — named stages checkpointed to ``<base>/<stage>`` parquet
   (Iceberg table when a catalog is configured — see ``osm_spark.io``);
   a re-run reuses any stage whose checkpoint is complete, so every
-  stage is resumable; each stage appends one JSON line to
-  ``lineage.jsonl`` with its input stages (the lineage DAG edge list),
+  stage is resumable; each stage writes one JSON record under
+  ``lineage/`` with its input stages (the lineage DAG edge list),
   row count, partition histogram, bytes written, and wall time.
 
 All filesystem access goes through the JVM Hadoop FileSystem bound to
 ``base_dir``'s scheme, so checkpoints/resume/byte accounting work the
 same on local paths and on ``s3a://``/``hdfs://`` URIs (the lineage log
-is rewritten whole per append — object stores have no append).
+is one immutable file per record — object stores have no append).
 
 At 100 TB the only extra cost per stage is one count-style aggregation
 over data Spark already materializes for the checkpoint.
@@ -27,6 +27,7 @@ over data Spark already materializes for the checkpoint.
 from __future__ import annotations
 
 import json
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +93,13 @@ class _FS:
         finally:
             st.close()
 
+    def list_names(self, *parts: str) -> list[str]:
+        p = self.child(*parts)
+        if not self._fs.exists(p):
+            return []
+        return sorted(str(s.getPath().getName())
+                      for s in self._fs.listStatus(p))
+
 
 class Pipeline:
     """Resumable checkpointed stage runner with lineage logging."""
@@ -102,20 +110,36 @@ class Pipeline:
         self.name = name
         self._fs = _FS(spark, self.base_dir)
         self._fs.mkdirs()
-        self._log_name = "lineage.jsonl"
+        self._log_name = "lineage.jsonl"   # legacy single-file log (read-only)
+        self._log_dir = "lineage"
+        self._log_seq = 0
 
     def _log(self, rec: dict):
+        """One immutable file per record under ``lineage/`` — O(1) per
+        append and atomic at record granularity on any FileSystem
+        (object stores have no append; the old whole-file rewrite was
+        O(n²) over stages and two pipelines sharing ``base_dir`` could
+        lose each other's records on a racing rewrite).  File names are
+        ``<ns-timestamp>-<seq>-<stage>.json`` so a lexicographic listing
+        is append order."""
         rec = {"pipeline": self.name, "ts": round(time.time(), 3), **rec}
-        text = ""
-        if self._fs.exists(self._log_name):
-            text = self._fs.read_text(self._log_name)
-        self._fs.write_text(text + json.dumps(rec) + "\n", self._log_name)
+        self._log_seq += 1
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", str(rec.get("stage", "")))[:64]
+        fname = f"{time.time_ns():020d}-{self._log_seq:04d}-{safe}.json"
+        self._fs.write_text(json.dumps(rec), self._log_dir, fname)
 
     def lineage(self) -> list[dict]:
-        if not self._fs.exists(self._log_name):
-            return []
-        return [json.loads(x) for x in
-                self._fs.read_text(self._log_name).splitlines() if x]
+        """All lineage records in append order (legacy ``lineage.jsonl``
+        first, then the per-record ``lineage/`` files)."""
+        recs: list[dict] = []
+        if self._fs.exists(self._log_name):
+            recs += [json.loads(x) for x in
+                     self._fs.read_text(self._log_name).splitlines() if x]
+        for name in self._fs.list_names(self._log_dir):
+            if name.endswith(".json"):
+                recs.append(json.loads(
+                    self._fs.read_text(self._log_dir, name)))
+        return recs
 
     def stage(self, name: str, fn, inputs: list[str] | tuple[str, ...] = (),
               partition_by: list[str] | None = None) -> DataFrame:

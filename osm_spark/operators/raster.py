@@ -213,9 +213,22 @@ def composite_cells(cells: DataFrame,
     inflate both the area key and ``n_painted``.  Output one row per
     distinct (cx, cy).
     """
+    def _bounded(expr, lo, hi, what):
+        # in-plan guard: zero extra passes over the data; an out-of-range
+        # value fails the job loudly instead of silently bleeding into a
+        # neighboring bit-field of the packed paint key
+        return F.when(
+            (expr < lo) | (expr > hi),
+            F.raise_error(F.concat(
+                F.lit(f"composite_cells: {what} out of [{lo},{hi}] for the "
+                      f"int64 paint key (remap with dense_rank first): "),
+                expr.cast("string")))
+        ).otherwise(expr)
+
     has_layer = "layer" in cells.columns
     lay = (F.coalesce(F.col("layer").cast("long"), F.lit(0))
            if has_layer else F.lit(0)) + 128
+    lay = _bounded(lay, 0, 255, "layer+128")
     if group_rank:
         bad = {c: g for c, g in group_rank.items()
                if not 0 <= int(g) <= MAX_GROUP_RANK}
@@ -232,11 +245,14 @@ def composite_cells(cells: DataFrame,
         grp = F.lit(0).cast("long")
     area = (cells.groupBy("feature_id")
             .agg(F.count("*").alias("area_cells")))
+    fid = _bounded(F.col("feature_id").cast("long"), 0, FID_CAP - 1,
+                   "feature_id")
+    area_cells = _bounded(F.col("area_cells"), 1, AREA_CAP - 1, "area_cells")
     keyed = cells.join(area, "feature_id").select(
         "feature_id", "category", "cx", "cy",
         (((grp * 256 + lay) * AREA_CAP
-          + (AREA_CAP - 1 - F.col("area_cells"))) * FID_CAP
-         + F.col("feature_id")).alias("paint_key"))
+          + (AREA_CAP - 1 - area_cells)) * FID_CAP
+         + fid).alias("paint_key"))
     win = keyed.groupBy("cx", "cy").agg(
         F.max_by(F.struct("feature_id", "category"),
                  F.col("paint_key")).alias("w"),

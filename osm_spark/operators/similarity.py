@@ -135,7 +135,11 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 5,
     a prefix would model only that slice's distribution.  A scrambled
     top-n is a uniform-ish sample, runs as TakeOrdered (no full sort),
     and stays reproducible in the numpy oracle twin."""
-    scramble = ((F.col(key) % F.lit(SAMPLE_M)) * F.lit(SAMPLE_A))         % F.lit(SAMPLE_M)
+    # pmod, not %: Spark's % truncates toward zero, so a negative key would
+    # yield a negative scramble and diverge from a floored-mod numpy/DuckDB
+    # twin (same sign bug geocode_id_cols fixed)
+    scramble = F.pmod(F.pmod(F.col(key), F.lit(SAMPLE_M)) * F.lit(SAMPLE_A),
+                      F.lit(SAMPLE_M))
     rows = (emb.select(key, col).orderBy(scramble, key)
             .limit(sample).collect())
     X = np.array([np.asarray(r[1], np.float64) for r in rows])
