@@ -204,6 +204,26 @@ def q_g06_pip_tag(spark, sf):
     return spatial_join(docs, _city_polys_df(spark), how="left", page_key="doc_id")
 
 
+def q_g06_pip_partitioned(spark, sf):
+    """G6 through the PARTITIONED disk-index path (G15's on-disk bulk
+    load + G16's range query; spatial_join.py:spatial_join_partitioned)
+    — the 100 TB strategy for layers beyond executor memory: one hash
+    exchange on the coarse cell key, per-partition row-group-pruned
+    layer range reads, byte-bounded span-group matching.  Same match
+    semantics (and oracle SQL) as g06_pip_tag's broadcast path."""
+    from pathlib import Path
+
+    from osm_spark.operators.spatial_join import (spatial_join_partitioned,
+                                                  write_partitioned_layer)
+
+    docs = _geo_docs(spark, sf)
+    layer = Path(__file__).resolve().parent / "data" / "driver_player_city"
+    if not (layer / "_SUCCESS").exists():
+        write_partitioned_layer(_city_polys_df(spark), str(layer))
+    return spatial_join_partitioned(docs, str(layer), how="left",
+                                    page_key="doc_id")
+
+
 def q_g22_tile_assign(spark, sf):
     docs = _geo_docs(spark, sf)
     rows = T.tile_y_rows_df(spark, 8, FX.LAT0, FX.LAT0 + FX.SPAN).unionByName(
@@ -318,6 +338,66 @@ def q_x5_ch_shortcuts(spark, sf):
         "src", "dst", F.round("weight", 6).alias("weight_r"),
         F.col("via").isNotNull().alias("is_shortcut"), "rank_src", "rank_dst"
     )
+
+
+def q_x3_witness_sim(spark, sf):
+    """X3: ONE distributed witness-simulation round over the grid-6
+    road network — per node, the bounded local witness Dijkstra over
+    the 1-hop neighbourhood subgraph (contraction.ml:261-310) decides
+    which (u, w) pairs need shortcuts.  This is the distributed
+    applyInPandas path `contract` runs each round, exposed directly:
+    output one row per (node, needed-shortcut), nodes with none kept
+    via explode_outer.  Golden cross-checked by a plain-python
+    re-simulation from the raw edge list (tools/make_goldens.py)."""
+    nodes, refs = FX.road_network_dfs(spark, grid=6)
+    edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
+    active = (edges.filter("src != dst")
+              .groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+              .withColumn("orig", F.lit(1))
+              .withColumn("via", F.lit(None).cast("long")))
+    sim = (RT._neighbourhoods(active)
+           .groupBy("v").applyInPandas(RT._simulate_group, RT._SIM_SCHEMA))
+    return sim.select(
+        "node", F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_shortcuts").cast("long").alias("n_shortcuts"),
+        F.explode_outer("shortcuts").alias("s"),
+    ).select(
+        # -1 sentinels, not nulls: nullable ints round-trip as DOUBLE
+        # through the pandas-backed golden and would flip the oracle
+        # schema
+        "node", "n_in", "n_out", "n_shortcuts",
+        F.coalesce(F.col("s.u"), F.lit(-1)).alias("sc_u"),
+        F.coalesce(F.col("s.w"), F.lit(-1)).alias("sc_w"),
+        F.coalesce(F.round(F.col("s.weight"), 6),
+                   F.lit(-1.0)).alias("sc_weight_r"))
+
+
+def q_x4_x6_local_ch(spark, sf):
+    """X4+X6: sequential node contraction with lazy priority re-eval
+    (contraction.ml:439-495) over the full grid-6 network — the
+    residual-core finisher `contract` runs after the distributed
+    rounds, driver-local by design.  Output: the contraction ORDER
+    (node → rank; X6's CH output ordering) plus the number of
+    shortcuts each contraction introduced (X4).  Golden cross-checked
+    by CH invariants: ranks are a permutation, every shortcut's via
+    node outranks below both endpoints, and the augmented graph
+    preserves pure-python Dijkstra distances."""
+    nodes, refs = FX.road_network_dfs(spark, grid=6)
+    edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
+    rows = [(r.src, r.dst, r.weight, 1, None) for r in
+            edges.filter("src != dst")
+            .groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+            .collect()]
+    frozen, ranks = RT._contract_local(rows, 0)
+    n_via: dict[int, int] = {}
+    for _s, _d, _w, _o, via in frozen:
+        if via is not None:
+            n_via[int(via)] = n_via.get(int(via), 0) + 1
+    out = [(int(n), int(r), n_via.get(int(n), 0))
+           for n, r in ranks.items()]
+    return spark.createDataFrame(
+        out, "node long, rank long, n_shortcuts long")
 
 
 def q_g22_viewport(spark, sf):
@@ -594,13 +674,31 @@ def q_stream_window_counts(spark, sf):
 
 
 def q_stream_sessionize(spark, sf):
-    out = SE.sessionize_batch(_t(spark, sf, "events"), gap_s=28800)
-    # session_start is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) —
-    # timestampdiff from the NTZ epoch is tz-free exact micros
+    """STATEFUL streaming path: applyInPandasWithState sessionization
+    drained via availableNow with a flush sentinel (stage_flush_dir),
+    so every session of the closed input is emitted and the DuckDB
+    sessionize oracle checks the real streaming operator.  The batch
+    twin (sessionize_batch) is retained as a pytest parity check."""
+    import uuid
+    from pathlib import Path
+
+    gap_s, wm_s = 28800, 7200
+    d = Path(__file__).resolve().parent / "data" / (
+        "stream_flush_" + sf.strip("/").replace("/", "_"))
+    marker = d / "_FLUSH_STAGED"
+    if not marker.exists():
+        SE.stage_flush_dir(spark, f"{sf}/events.parquet", str(d),
+                           gap_s=gap_s, watermark_s=wm_s)
+        marker.touch()
+    out = SE.run_available_now(
+        SE.sessionize(SE.read_events_stream(spark, str(d)), gap_s=gap_s,
+                      watermark="2 hours",
+                      exclude_user=SE.FLUSH_SENTINEL_USER),
+        f"sess_{uuid.uuid4().hex[:8]}", "append")
+    # epoch micros (UTC session) — tz-free exact micros, same values the
+    # batch twin's TIMESTAMP_NTZ timestampdiff produced
     return out.select(
-        "user_id",
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-               " session_start)").alias("session_start_us"),
+        "user_id", F.unix_micros("session_start").alias("session_start_us"),
         F.col("n_events").cast("long").alias("n_events"), "sum_cents")
 
 
@@ -837,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_classify": q_tag_classify,
         "x1_edge_lead": q_x1_edge_lead,
         "g06_pip_tag": q_g06_pip_tag,
+        "g06_pip_partitioned": q_g06_pip_partitioned,
         "g22_tile_assign": q_g22_tile_assign,
         "g17_knn": q_g17_knn,
         "g01_distance": q_g01_distance,
@@ -845,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_mp_assembly": q_g20_mp_assembly,
         "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
+        "x3_witness_sim": q_x3_witness_sim,
+        "x4_x6_local_ch": q_x4_x6_local_ch,
         "l_linear_tiles": q_l_linear_tiles,
         "g22_viewport": q_g22_viewport,
         "g10_curve_keys": q_g10_curve_keys,
@@ -1342,6 +1443,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "g06_pip_tag": f"""
             WITH {OSQL.pip_hits_sql().lstrip()}
             SELECT d.doc_id, h.feature_id FROM documents d LEFT JOIN hits h USING (doc_id)""",
+        # identical match semantics through the partitioned disk-index path
+        "g06_pip_partitioned": f"""
+            WITH {OSQL.pip_hits_sql().lstrip()}
+            SELECT d.doc_id, h.feature_id FROM documents d LEFT JOIN hits h USING (doc_id)""",
         "g22_tile_assign": f"""
             WITH {OSQL.PTS_CTE},
             rows_(z, y, lat_hi, lat_lo) AS (VALUES {OSQL.tile_rows_values((8, 12))})
@@ -1399,6 +1504,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "l_linear_tiles": _golden_sql("l_linear_tiles"),
         "g20_mp_assembly": _golden_sql("g20_mp_assembly"),
         "x5_ch_shortcuts": _golden_sql("x5_ch_shortcuts"),
+        "x3_witness_sim": _golden_sql("x3_witness_sim"),
+        "x4_x6_local_ch": _golden_sql("x4_x6_local_ch"),
         "x7_ch_path": _golden_sql("x7_ch_path"),
         "e2e_pbf_tiles": _golden_sql("e2e_pbf_tiles"),
         "g_kernel_values": _golden_sql("g_kernel_values"),

@@ -302,6 +302,102 @@ def main() -> int:
 
     record("x7_ch_path", qs["x7_ch_path"](spark, sf), check_x7)
 
+    # --- x3_witness_sim: plain-python re-simulation from the edge list --
+    def check_x3(pdf):
+        import heapq as _hq
+
+        nodes_df, refs = FX.road_network_dfs(spark, grid=6)
+        base = RT.extract_edges(refs, nodes_df).select(
+            "src", "dst", "weight").collect()
+        ew: dict[tuple, float] = {}
+        for r in base:
+            if r.src != r.dst:
+                k = (int(r.src), int(r.dst))
+                ew[k] = min(ew.get(k, float("inf")), float(r.weight))
+        all_nodes = {a for a, _ in ew} | {b for _, b in ew}
+        got_counts = {}
+        got_sc = set()
+        for r in pdf.itertuples():
+            got_counts[int(r.node)] = (int(r.n_in), int(r.n_out),
+                                       int(r.n_shortcuts))
+            if int(r.sc_u) >= 0:
+                got_sc.add((int(r.node), int(r.sc_u), int(r.sc_w),
+                            round(float(r.sc_weight_r), 6)))
+        want_sc = set()
+        for v in all_nodes:
+            ins = [(a, w) for (a, b), w in ew.items() if b == v and a != v]
+            outs = [(b, w) for (a, b), w in ew.items() if a == v and b != v]
+            nbrs = {a for a, _ in ins} | {b for b, _ in outs}
+            sub: dict[int, list] = {}
+            for (a, b), w in ew.items():
+                if a in nbrs and b in nbrs and a != v and b != v:
+                    sub.setdefault(a, []).append((b, w))
+            n_sc = 0
+            for u, w_uv in ins:
+                targets = {w_: w_uv + w_vw for w_, w_vw in outs if w_ != u}
+                if not targets:
+                    continue
+                limit = max(targets.values())
+                dist = {u: 0.0}
+                pq = [(0.0, u)]
+                while pq:
+                    d0, x = _hq.heappop(pq)
+                    if d0 > dist.get(x, float("inf")) or d0 > limit:
+                        continue
+                    for y, wt in sub.get(x, ()):
+                        nd = d0 + wt
+                        if nd < dist.get(y, float("inf")) and nd <= limit:
+                            dist[y] = nd
+                            _hq.heappush(pq, (nd, y))
+                for w_, sw in targets.items():
+                    if dist.get(w_, float("inf")) > sw:
+                        n_sc += 1
+                        want_sc.add((v, u, w_, round(sw, 6)))
+            assert got_counts[v] == (len(ins), len(outs), n_sc), (
+                v, got_counts[v], (len(ins), len(outs), n_sc))
+        assert got_sc == want_sc
+        print("  x3_witness_sim: plain-python witness re-simulation agrees")
+
+    record("x3_witness_sim", qs["x3_witness_sim"](spark, sf), check_x3)
+
+    # --- x4_x6_local_ch: CH ordering invariants -------------------------
+    def check_x4x6(pdf):
+        nodes_df, refs = FX.road_network_dfs(spark, grid=6)
+        base = RT.extract_edges(refs, nodes_df).select(
+            "src", "dst", "weight").collect()
+        adj: dict[int, list] = {}
+        for r in base:
+            adj.setdefault(int(r.src), []).append((int(r.dst), float(r.weight)))
+        ranks = {int(r.node): int(r.rank) for r in pdf.itertuples()}
+        # X6: the output ordering is a total order — a permutation 0..n-1
+        assert sorted(ranks.values()) == list(range(len(ranks)))
+        # X4: rebuild the contraction and verify the frozen overlay
+        # preserves distances AND every shortcut's via ranks below both
+        # endpoints (the CH structural invariant)
+        rows = [(a, b, w, 1, None) for (a, b), w in
+                {(int(r.src), int(r.dst)): float(r.weight) for r in base
+                 if r.src != r.dst}.items()]
+        frozen, ranks2 = RT._contract_local(rows, 0)
+        assert ranks2 == ranks           # query output IS the contraction
+        n_via: dict[int, int] = {}
+        aug: dict[int, list] = {}
+        for s, d, w, _o, via in frozen:
+            aug.setdefault(int(s), []).append((int(d), float(w)))
+            if via is not None:
+                n_via[int(via)] = n_via.get(int(via), 0) + 1
+                assert ranks[int(via)] < min(ranks[int(s)], ranks[int(d)]), (
+                    via, s, d)
+        got_via = {int(r.node): int(r.n_shortcuts) for r in pdf.itertuples()}
+        assert got_via == {n: n_via.get(n, 0) for n in ranks}
+        for s in sorted(adj)[:6]:
+            d0, d1 = dijkstra(adj, s), dijkstra(aug, s)
+            for k, v in d0.items():
+                assert abs(d1.get(k, float("inf")) - v) < 1e-4, (s, k)
+        print("  x4_x6_local_ch: permutation + via-rank + distance "
+              "invariants hold")
+
+    record("x4_x6_local_ch", qs["x4_x6_local_ch"](spark, sf), check_x4x6)
+
     # --- e2e_pbf_tiles: fixture-truth recompute of the composed chain ---
     def check_e2e(pdf):
         from osm_spark.sources import pbf_fixture
