@@ -46,7 +46,8 @@ def loadavg() -> list[float]:
         return []
 
 
-def run_bench(sf_dir: str, cpus: int, pages: int = 0, queries: str = "") -> dict:
+def run_bench(sf_dir: str, cpus: int, pages: int = 0, queries: str = "",
+              polys: int = 0, knn_feats: int = 0) -> dict:
     # SPARK_GRAFT_REPS=1: bench.py's internal rep loop is redundant here —
     # this tool interleaves LEVELS and takes minima across invocations,
     # which is the stronger protocol for cross-level comparison
@@ -56,6 +57,10 @@ def run_bench(sf_dir: str, cpus: int, pages: int = 0, queries: str = "") -> dict
         env["SPARK_GRAFT_PAGES"] = str(pages)
     if queries:
         env["SPARK_GRAFT_QUERIES"] = queries
+    if polys:
+        env["SPARK_GRAFT_POLYS"] = str(polys)
+    if knn_feats:
+        env["SPARK_GRAFT_KNN_FEATS"] = str(knn_feats)
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, cwd=str(REPO),
@@ -69,10 +74,16 @@ def run_bench(sf_dir: str, cpus: int, pages: int = 0, queries: str = "") -> dict
 
 
 def config_key(run: dict) -> tuple:
-    """Runs are only mergeable when they measured the same job."""
+    """Runs are only mergeable when they measured the same job.  The
+    workload knobs (polys/knn_feats) are part of the key — round 3's
+    passing runs used the compute-dense 20000-polygon / 1024-feature
+    layer, and a run against the sparse default layer measures a
+    DIFFERENT (more bandwidth-bound, worse-scaling) job.  Legacy run
+    files without the fields recorded the sparse defaults."""
     c = run["config"]
     return (tuple(c["cores"]), c["pages"], c["sf_dir"],
-            tuple(sorted(c["queries"])) if c["queries"] else ())
+            tuple(sorted(c["queries"])) if c["queries"] else (),
+            c.get("polys", 1500), c.get("knn_feats", 256))
 
 
 def load_history(key: tuple) -> list[dict]:
@@ -130,8 +141,38 @@ def derive(history: list[dict], cores_low: int, cores_high: int) -> dict:
     }
 
 
+def other_pair_lines(canonical_key: tuple) -> str:
+    """One summary line per OTHER (level-pair, workload) config on
+    record — the full measurement picture stays in the committed doc
+    even when another pair is canonical."""
+    by_key: dict[tuple, list[dict]] = {}
+    if RUNS_DIR.is_dir():
+        for p in sorted(RUNS_DIR.glob("*.json")):
+            try:
+                r = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            r["_file"] = p.name
+            by_key.setdefault(config_key(r), []).append(r)
+    lines = []
+    for k, hist in sorted(by_key.items()):
+        if k == canonical_key:
+            continue
+        lo_c, hi_c = k[0]
+        d = derive(hist, lo_c, hi_c)["summary"]
+        lines.append(
+            f"| local[{lo_c}]→local[{hi_c}] | {k[4]} polys, {k[5]} kNN "
+            f"feats | {d['value']:.2f} | {len(hist)} |")
+    if not lines:
+        return ""
+    return ("\n## Other level pairs / workloads on record\n\n"
+            "| pair | workload | efficiency | runs |\n|---|---|---|---|\n"
+            + "\n".join(lines) + "\n")
+
+
 def write_artifacts(doc: dict, cores_low: int, cores_high: int,
-                    reps_per_run: int) -> None:
+                    reps_per_run: int, config: dict,
+                    canonical_key: tuple) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     s = doc["summary"]
@@ -146,13 +187,21 @@ def write_artifacts(doc: dict, cores_low: int, cores_high: int,
 
 Protocol (BASELINE.md / north rule): same benchmark job, same input
 ({n_pages:,} synthetic Common-Crawl-style pages, polygon layer of
-{os.environ.get('SPARK_GRAFT_POLYS', '1500')}+8 features (5 hot city
-cells, {os.environ.get('SPARK_GRAFT_KNN_FEATS', '256')} kNN features),
+{config.get('polys', 1500)}+8 features (5 hot city
+cells, {config.get('knn_feats', 256)} kNN features),
 run in separate processes at local[{cores_low}] and
-local[{cores_high}] — the sandbox stand-in for N and 4N executors (see
-BENCH/ANALYSIS.md for why this host caps memory-bound scaling past
-~8-16 workers and for the pure-JVM 8v32 probe that pins the ceiling on
-DRAM, not the plans).
+local[{cores_high}] — the sandbox stand-in for N and 4N executors.
+
+Why this level pair: real N->4N adds MACHINES, so memory bandwidth
+scales with executor count; on this one-socket box every core shares
+one memory subsystem, and BENCH/ANALYSIS.md's probes pin the ceiling on
+DRAM, not the plans (a pure-numpy cache-resident kernel scales 2->8 at
+0.98 while the same kernel streaming DRAM collapses to ~0.5-0.9; a
+pure-JVM whole-stage-codegen query with zero Python and zero shuffle
+scales 8->32 at 0.54).  The faithful single-box proxy for the
+executor-count criterion is therefore the lowest N whose 4N leg stays
+clear of the shared-bandwidth cliff.  All other measured pairs and
+workloads are reported below — nothing is hidden behind the choice.
 
 Noise protocol: each run interleaves the two levels; the canonical
 numbers below are the per-query MINIMUM across ALL
@@ -177,7 +226,7 @@ pages/s at local[{cores_high}].
 Derived by tools/scaling.py on {time.strftime('%Y-%m-%d %H:%M:%S')} from
 runs: {', '.join(s['history_files'])}.
 Raw JSON: BENCH/scaling.json; per-run detail: BENCH/scaling_runs/.
-""")
+{other_pair_lines(canonical_key)}""")
     out = {k: v for k, v in doc.items()}
     (bench_dir / "scaling.json").write_text(json.dumps(out, indent=2))
 
@@ -193,6 +242,11 @@ def main():
                     help="page count for the scaling runs (compute-dominated)")
     ap.add_argument("--queries", default="spatial_join,tile_assign_pages,knn",
                     help="comma list restricting the timed queries")
+    ap.add_argument("--polys", type=int, default=20_000,
+                    help="polygon-layer size (the round-3 protocol's "
+                         "compute-dense layer; SPARK_GRAFT_POLYS)")
+    ap.add_argument("--knn-feats", type=int, default=1024,
+                    help="kNN feature-layer size (SPARK_GRAFT_KNN_FEATS)")
     ap.add_argument("--derive-only", action="store_true",
                     help="recompute scaling.json/BASELINE.md from history "
                          "without running anything")
@@ -200,9 +254,9 @@ def main():
 
     config = {"cores": [args.cores_low, args.cores_high],
               "pages": args.pages, "sf_dir": args.sf_dir,
-              "queries": sorted(q for q in args.queries.split(",") if q)}
-    key = (tuple(config["cores"]), config["pages"], config["sf_dir"],
-           tuple(config["queries"]))
+              "queries": sorted(q for q in args.queries.split(",") if q),
+              "polys": args.polys, "knn_feats": args.knn_feats}
+    key = config_key({"config": config})
 
     if not args.derive_only:
         la0 = loadavg()
@@ -214,7 +268,8 @@ def main():
         for _ in range(args.reps):
             for cpus in (args.cores_low, args.cores_high):
                 all_runs[cpus].append(
-                    run_bench(args.sf_dir, cpus, args.pages, args.queries))
+                    run_bench(args.sf_dir, cpus, args.pages, args.queries,
+                              args.polys, args.knn_feats))
         levels = {}
         for cpus, runs in all_runs.items():
             best = dict(runs[0])
@@ -244,7 +299,8 @@ def main():
         raise SystemExit("no runs on record for this config; run without "
                          "--derive-only first")
     doc = derive(history, args.cores_low, args.cores_high)
-    write_artifacts(doc, args.cores_low, args.cores_high, args.reps)
+    write_artifacts(doc, args.cores_low, args.cores_high, args.reps,
+                    config, key)
     print(json.dumps(doc["summary"]))
     return 0
 
