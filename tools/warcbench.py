@@ -19,7 +19,7 @@ decode + text + aggregate:
   (BENCH/warcbench.json history: 0.5-0.6 at 2→8 vs 0.83-0.90 for the
   pure decode kernel).
 
-Usage: python tools/warcbench.py [n_pages] [reps]
+Usage: python tools/warcbench.py [n_pages] [reps] [levels e.g. 2,8]
        python tools/warcbench.py --child <cores> <mode> <path>  (internal)
 """
 
@@ -79,6 +79,8 @@ def run_child(cores: int, mode: str, path: str) -> float:
 def main() -> int:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    levels = (tuple(int(x) for x in sys.argv[3].split(","))
+              if len(sys.argv) > 3 else LEVELS)
 
     from osm_spark.sources import warc_fixture
 
@@ -89,14 +91,15 @@ def main() -> int:
     best: dict[tuple, float] = {}
     for rep in range(reps):
         for mode in MODES:
-            for cores in LEVELS:             # interleaved levels
+            for cores in levels:             # interleaved levels
                 t = run_child(cores, mode, str(path))
                 k = (mode, cores)
                 best[k] = min(best.get(k, float("inf")), t)
                 print(f"rep {rep} {mode} local[{cores}]: {t:.3f} s",
                       file=sys.stderr)
-    lo, hi = LEVELS
-    result: dict = {"n_pages": n_pages, "reps": reps}
+    lo, hi = levels
+    result: dict = {"n_pages": n_pages, "reps": reps,
+                    "levels": list(levels)}
     for mode in MODES:
         eff = (best[(mode, lo)] / best[(mode, hi)]) / (hi / lo)
         result[mode] = {
@@ -106,6 +109,11 @@ def main() -> int:
             f"pages_per_sec_local{hi}": round(n_pages / best[(mode, hi)], 1),
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
+    import time as _t
+    runs = REPO / "BENCH" / "warcbench_runs"
+    runs.mkdir(parents=True, exist_ok=True)
+    (runs / (_t.strftime("%Y%m%dT%H%M%S") + ".json")).write_text(
+        json.dumps(result, indent=2))
     (REPO / "BENCH" / "warcbench.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
     return 0
