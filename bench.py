@@ -102,10 +102,13 @@ def main():
     )
 
     # q5's partitioned disk layer (one-time bulk load per layer version —
-    # amortized at scale, untimed here like the broadcast index build)
+    # amortized at scale, untimed here like the broadcast index build);
+    # only built when q5 is actually selected — scaling.py children that
+    # restrict to other queries must not pay the layer write
     layer_path = str(Path(__file__).resolve().parent / "data" /
                      f"bench_player_{N_SMALL_POLYS}")
-    if not (Path(layer_path) / "_SUCCESS").exists():
+    if ((not only_set or "spatial_join_partitioned" in only_set)
+            and not (Path(layer_path) / "_SUCCESS").exists()):
         write_partitioned_layer(polys, layer_path)
 
     queries = [

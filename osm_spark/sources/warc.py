@@ -121,13 +121,15 @@ def iter_warc_index(path: str):
                         malformed = True
                 elif line.strip():
                     malformed = True
-        if entries or (not malformed and _fsize(path) == 0):
+        if (entries and not malformed) or (not malformed
+                                           and _fsize(path) == 0):
             yield from entries
             return
-        # an empty OR all-malformed side file next to a non-empty warc
-        # is a partial/corrupt write (landing dirs write the warc
-        # first): distrust it and fall through to the walking index
-        # rather than silently dropping every record
+        # ANY malformed non-blank line — not just an all-malformed or
+        # empty side file — distrusts the whole cdx: a single
+        # bit-corrupted line next to parseable ones would otherwise
+        # silently drop that record from every downstream decode.  The
+        # walk costs one inflate pass but never loses records.
     if path.endswith(".gz"):
         # no side file: one streaming inflate over the file to find
         # member boundaries — chunk-fed from INCREMENTAL file reads
@@ -179,28 +181,37 @@ def iter_warc_index(path: str):
             off += size
 
 
+_CDX_HEAD_BYTES = 4096
+
+
 def _cdx_head_parses(cdx: str) -> bool:
-    """O(1) driver guard for the distributed cdx scan: the first
-    non-empty line must parse as two integers.  A cdx whose every line
-    is malformed would otherwise scan to ZERO records silently (the
-    csv path drops null rows), while the driver-side walker treats the
-    same corruption as re-index-and-walk."""
+    """O(1) driver guard for the distributed cdx scan: every COMPLETE
+    non-empty line in the first 4 KB must parse as two integers (the
+    final line is only skipped when the read was truncated mid-line).
+    The csv path silently drops null rows, so any malformed line here
+    — corruption OR an unexpected header format — routes to the
+    walking index, which never loses records (same policy as
+    iter_warc_index's whole-file check)."""
     try:
         with _open_input(cdx) as f:
-            head = f.read(4096).decode("utf-8", "replace")
+            head = f.read(_CDX_HEAD_BYTES).decode("utf-8", "replace")
     except OSError:
         return False
-    for line in head.splitlines()[:-1] or head.splitlines():
+    lines = head.splitlines()
+    if len(head) >= _CDX_HEAD_BYTES and lines:
+        lines = lines[:-1]              # last line may be cut mid-number
+    saw_data = False
+    for line in lines:
         if line.strip():
             parts = line.split()
             if len(parts) < 2:
                 return False
             try:
                 int(parts[0]), int(parts[1])
-                return True
+                saw_data = True
             except ValueError:
                 return False
-    return False
+    return saw_data
 
 
 # cdx-less .warc.gz above this size index DISTRIBUTED (chunked member
@@ -313,16 +324,28 @@ def warc_index_gz_distributed(spark: SparkSession, path: str,
            .withColumn("compressed", F.lit(True)))
     if validate and fsize:
         idx = idx.persist()
-        chk = idx.agg(
-            F.min("offset").alias("lo"),
-            F.max(F.col("offset") + F.col("size")).alias("hi"),
-            F.sum("size").alias("total")).first()
-        if (chk.lo, chk.hi, chk.total) != (0, fsize, fsize):
+        try:
+            chk = idx.agg(
+                F.min("offset").alias("lo"),
+                F.max(F.col("offset") + F.col("size")).alias("hi"),
+                F.sum("size").alias("total")).first()
+            if (chk.lo, chk.hi, chk.total) != (0, fsize, fsize):
+                raise ValueError(
+                    f"distributed gz walk of {path} is not contiguous: "
+                    f"min={chk.lo} max_end={chk.hi} sum={chk.total} "
+                    f"fsize={fsize} (member resync failed)")
+            # the index is one 17-byte row per gzip MEMBER (members are
+            # KBs-to-MBs), so it is orders of magnitude smaller than the
+            # file just walked — round-trip it through the driver so the
+            # expensive walk is never recomputed AND nothing stays
+            # pinned in executor storage for the application lifetime
+            # (a loop over a crawl segment would otherwise accumulate
+            # one dead persisted DF per archive).
+            pdf = idx.toPandas()
+        finally:
             idx.unpersist()
-            raise ValueError(
-                f"distributed gz walk of {path} is not contiguous: "
-                f"min={chk.lo} max_end={chk.hi} sum={chk.total} "
-                f"fsize={fsize} (member resync failed)")
+        return spark.createDataFrame(
+            pdf, "offset long, size long, compressed boolean")
     return idx
 
 
@@ -335,16 +358,21 @@ def warc_index(spark: SparkSession, path: str) -> DataFrame:
     cdx = path + ".cdx"
     if _exists(cdx) and (_fsize(path) == 0
                          or (_fsize(cdx) > 0 and _cdx_head_parses(cdx))):
-        return (spark.read
-                .csv(cdx, sep=" ", schema="offset long, size long")
-                # tokens beyond the first two are dropped by the csv
-                # reader (matching iter_warc_index's >= 2 rule); a
-                # short or non-numeric line nulls a field — drop it
-                # rather than crash the decoder on a NULL offset
-                .where(F.col("offset").isNotNull()
-                       & F.col("size").isNotNull())
-                .withColumn("compressed",
-                            F.lit(path.endswith(".gz"))))
+        raw = spark.read.csv(cdx, sep=" ",
+                             schema="offset long, size long")
+        # a short or non-numeric line nulls a field; DON'T silently
+        # drop it — corruption past the 4 KB head guard would lose
+        # records.  One cheap distributed pass over the (tiny) cdx
+        # checks full parseability; any bad line distrusts the whole
+        # side file and falls through to the lossless walk, the same
+        # policy iter_warc_index applies.  (Tokens beyond the first
+        # two are dropped by the csv reader — that matches the >= 2
+        # rule and is not corruption.)
+        bad = raw.where(F.col("offset").isNull()
+                        | F.col("size").isNull())
+        if bad.isEmpty():
+            return raw.withColumn("compressed",
+                                  F.lit(path.endswith(".gz")))
     if path.endswith(".gz") and _fsize(path) >= int(os.environ.get(
             "OSM_SPARK_WARC_WALK_DISTRIBUTED_MIN", WALK_DISTRIBUTED_MIN)):
         return warc_index_gz_distributed(spark, path)

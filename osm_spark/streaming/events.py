@@ -221,8 +221,14 @@ def stage_flush_dir(spark: SparkSession, src_path: str, landing_dir: str,
     has no end to flush.
     """
     ev = spark.read.schema(EVENTS_SCHEMA).parquet(src_path)
-    ev.write.mode("overwrite").parquet(landing_dir)
     max_ts = ev.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        # fail BEFORE mutating landing_dir: an interpolated NULL would
+        # otherwise surface as a cryptic timestamp-literal parse error
+        # after a half-staged (empty) landing dir was already written
+        raise ValueError(f"stage_flush_dir: {src_path} has no events "
+                         "to stage")
+    ev.write.mode("overwrite").parquet(landing_dir)
     sent = spark.sql(
         "SELECT CAST(-1 AS LONG) event_id, "
         f"timestamp'{max_ts}' + make_interval(0,0,0,0,0,0,{gap_s + watermark_s + 2}) ts, "

@@ -260,6 +260,24 @@ def test_malformed_cdx_side_file_distrusted(spark, tmp_path):
     assert warc.warc_index(spark, p).count() == len(walked)
 
 
+def test_partially_malformed_cdx_distrusted(spark, tmp_path):
+    """ONE corrupt line among parseable ones must distrust the whole
+    side file (walk; zero records lost) — trusting the surviving lines
+    would silently drop the corrupted record from every decode.  Covers
+    both the driver walker and the distributed csv path (whose 4 KB
+    head guard cannot see corruption deeper in the file)."""
+    p = str(tmp_path / "partial.warc.gz")
+    WF.write_sample(p)
+    good = list(warc.iter_warc_index(p))
+    assert len(good) == 1 + 2 * WF.N_PAGES
+    lines = [f"{o} {s}" for o, s, _ in good]
+    lines[len(lines) // 2] = "99x9 480"           # one bit-corrupted line
+    with open(p + ".cdx", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    assert list(warc.iter_warc_index(p)) == good
+    assert warc.warc_index(spark, p).count() == len(good)
+
+
 def test_text_only_projection_matches_full(spark, warc_path):
     """columns=('url','warc_ts','text',...) extracts text INSIDE the
     decode mapper (python twin) — output must equal the full path's

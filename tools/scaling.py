@@ -17,7 +17,10 @@ host has minutes-long co-tenant noise windows (ANALYSIS.md measured the
 identical job varying 104 s -> 297 s), so the minimum estimates the
 true uncontended cost and a single noisy window can never regress the
 committed artifact.  Each run file records /proc/loadavg before and
-after so noise windows are auditable.
+after so noise windows are auditable, plus a fingerprint of the
+benchmarked source files — the canonical derive only merges runs whose
+fingerprint matches the current tree, so stale minima cannot mask a
+real code regression.
 
 Usage: python tools/scaling.py [--sf-dir /root/testdata/sf0.1]
                                [--cores-low 2 --cores-high 8] [--reps 2]
@@ -36,6 +39,34 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 RUNS_DIR = REPO / "BENCH" / "scaling_runs"
+
+# the code the gate queries actually execute: a historical run is only
+# mergeable into the canonical minima while THESE files are unchanged —
+# min-of-history filters co-tenant noise, but without a code identity it
+# would also mask a real performance regression forever (the old fast
+# minimum would keep winning).  Docs/tools/unrelated-operator commits
+# don't invalidate history; touching a benchmarked code path does.
+FINGERPRINT_FILES = (
+    "bench.py",
+    "osm_spark/session.py",
+    "osm_spark/fixtures.py",
+    "osm_spark/geo/kernels.py",
+    "osm_spark/operators/spatial_join.py",
+    "osm_spark/operators/tiles.py",
+    "osm_spark/operators/knn.py",
+    "osm_spark/operators/geocode.py",
+    "osm_spark/operators/cluster.py",
+)
+
+
+def source_fingerprint() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in FINGERPRINT_FILES:
+        h.update(rel.encode())
+        h.update((REPO / rel).read_bytes())
+    return h.hexdigest()[:16]
 
 
 def loadavg() -> list[float]:
@@ -86,7 +117,12 @@ def config_key(run: dict) -> tuple:
             c.get("polys", 1500), c.get("knn_feats", 256))
 
 
-def load_history(key: tuple) -> list[dict]:
+def load_history(key: tuple, fingerprint: str | None = None) -> list[dict]:
+    """Runs matching ``key``; with ``fingerprint`` given, runs recorded
+    under a DIFFERENT code fingerprint are excluded (they measured old
+    code — their minima must not mask a regression).  Runs predating
+    the fingerprint field are kept and counted as legacy in the
+    summary."""
     runs = []
     if RUNS_DIR.is_dir():
         for p in sorted(RUNS_DIR.glob("*.json")):
@@ -94,9 +130,14 @@ def load_history(key: tuple) -> list[dict]:
                 r = json.loads(p.read_text())
             except (OSError, json.JSONDecodeError):
                 continue
-            if config_key(r) == key:
-                r["_file"] = p.name
-                runs.append(r)
+            if config_key(r) != key:
+                continue
+            fp = r.get("code_fingerprint")
+            if fingerprint is not None and fp is not None \
+                    and fp != fingerprint:
+                continue
+            r["_file"] = p.name
+            runs.append(r)
     return runs
 
 
@@ -136,6 +177,8 @@ def derive(history: list[dict], cores_low: int, cores_high: int) -> dict:
             "sf": hi["sf"],
             "n_history_runs": len(history),
             "history_files": [r["_file"] for r in history],
+            "n_legacy_unfingerprinted": sum(
+                1 for r in history if r.get("code_fingerprint") is None),
         },
         "runs": merged,
     }
@@ -144,7 +187,8 @@ def derive(history: list[dict], cores_low: int, cores_high: int) -> dict:
 def other_pair_lines(canonical_key: tuple) -> str:
     """One summary line per OTHER (level-pair, workload) config on
     record — the full measurement picture stays in the committed doc
-    even when another pair is canonical."""
+    even when another pair is canonical.  Informational: includes runs
+    of any code fingerprint (the canonical derive is strict)."""
     by_key: dict[tuple, list[dict]] = {}
     if RUNS_DIR.is_dir():
         for p in sorted(RUNS_DIR.glob("*.json")):
@@ -284,6 +328,7 @@ def main():
         run_doc = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "config": config,
+            "code_fingerprint": source_fingerprint(),
             "reps": args.reps,
             "loadavg_before": la0,
             "loadavg_after": loadavg(),
@@ -294,7 +339,7 @@ def main():
         (RUNS_DIR / fname).write_text(json.dumps(run_doc, indent=2))
         print(f"run recorded: BENCH/scaling_runs/{fname}", file=sys.stderr)
 
-    history = load_history(key)
+    history = load_history(key, source_fingerprint())
     if not history:
         raise SystemExit("no runs on record for this config; run without "
                          "--derive-only first")

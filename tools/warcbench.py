@@ -81,6 +81,11 @@ def main() -> int:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     levels = (tuple(int(x) for x in sys.argv[3].split(","))
               if len(sys.argv) > 3 else LEVELS)
+    if len(levels) != 2 or levels[0] >= levels[1]:
+        # validate BEFORE any child runs — a bad pair would otherwise
+        # crash at the final unpack after minutes of benchmarking
+        raise SystemExit(f"levels must be 'low,high' with low < high, "
+                         f"got {sys.argv[3]!r}")
 
     from osm_spark.sources import warc_fixture
 
