@@ -185,7 +185,10 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
                 state.remove()
         # no `elif state.hasTimedOut: remove()` branch: state is never
         # stored with an empty buffer, so a timed-out group always has
-        # buf_ts and takes the branch above (test_timeout_emits pins this)
+        # buf_ts and takes the branch above
+        # (test_sessionize_flush_full_parity pins the behavior: the
+        # final no-data batch times out every pending non-empty state
+        # and emits its closable sessions)
         yield pd.DataFrame(
             rows, columns=["user_id", "session_start", "n_events", "sum_cents"])
 
