@@ -200,28 +200,30 @@ def q_x1_edge_lead(spark, sf):
 
 
 def q_g06_pip_tag(spark, sf):
-    docs = _geo_docs(spark, sf)
-    return spatial_join(docs, _city_polys_df(spark), how="left", page_key="doc_id")
-
-
-def q_g06_pip_partitioned(spark, sf):
-    """G6 through the PARTITIONED disk-index path (G15's on-disk bulk
-    load + G16's range query; spatial_join.py:spatial_join_partitioned)
-    — the 100 TB strategy for layers beyond executor memory: one hash
-    exchange on the coarse cell key, per-partition row-group-pruned
-    layer range reads, byte-bounded span-group matching.  Same match
-    semantics (and oracle SQL) as g06_pip_tag's broadcast path."""
+    """G6 through BOTH physical paths, one row each tagged by ``path``:
+    0 = broadcast cell-index mapInPandas (zero shuffles); 1 = the
+    PARTITIONED disk-index path (G15's on-disk bulk load + G16's range
+    query; spatial_join.py:spatial_join_partitioned) — the 100 TB
+    strategy for layers beyond executor memory: one hash exchange on
+    the coarse cell key, per-partition row-group-pruned layer range
+    reads, byte-bounded span-group matching.  The single oracle checks
+    the two paths produce IDENTICAL match sets."""
     from pathlib import Path
 
     from osm_spark.operators.spatial_join import (spatial_join_partitioned,
                                                   write_partitioned_layer)
 
     docs = _geo_docs(spark, sf)
+    polys = _city_polys_df(spark)
+    bcast = spatial_join(docs, polys, how="left", page_key="doc_id").select(
+        F.lit(0).cast("long").alias("path"), "doc_id", "feature_id")
     layer = Path(__file__).resolve().parent / "data" / "driver_player_city"
     if not (layer / "_SUCCESS").exists():
-        write_partitioned_layer(_city_polys_df(spark), str(layer))
-    return spatial_join_partitioned(docs, str(layer), how="left",
-                                    page_key="doc_id")
+        write_partitioned_layer(polys, str(layer))
+    part = spatial_join_partitioned(
+        docs, str(layer), how="left", page_key="doc_id").select(
+        F.lit(1).cast("long").alias("path"), "doc_id", "feature_id")
+    return bcast.unionByName(part)
 
 
 def q_g22_tile_assign(spark, sf):
@@ -340,7 +342,7 @@ def q_x5_ch_shortcuts(spark, sf):
     )
 
 
-def q_x3_witness_sim(spark, sf):
+def _x3_witness_sim(spark, sf):
     """X3: ONE distributed witness-simulation round over the grid-6
     road network — per node, the bounded local witness Dijkstra over
     the 1-hop neighbourhood subgraph (contraction.ml:261-310) decides
@@ -373,7 +375,7 @@ def q_x3_witness_sim(spark, sf):
                    F.lit(-1.0)).alias("sc_weight_r"))
 
 
-def q_x4_x6_local_ch(spark, sf):
+def _x4_x6_local_ch(spark, sf):
     """X4+X6: sequential node contraction with lazy priority re-eval
     (contraction.ml:439-495) over the full grid-6 network — the
     residual-core finisher `contract` runs after the distributed
@@ -398,6 +400,25 @@ def q_x4_x6_local_ch(spark, sf):
            for n, r in ranks.items()]
     return spark.createDataFrame(
         out, "node long, rank long, n_shortcuts long")
+
+
+def q_x3_x4_ch_local(spark, sf):
+    """X3 + X4/X6 in one two-part table tagged by ``kind`` (the driver
+    gate is capped at 50 queries, so the two CH-local evidences share a
+    row): kind 0 = the distributed witness-simulation round
+    (_x3_witness_sim — absent columns filled with -1 sentinels), kind
+    1 = the sequential contraction order + per-node shortcut counts
+    (_x4_x6_local_ch).  One golden (tools/make_goldens.py) checks both
+    halves against their independent re-computations."""
+    neg1 = F.lit(-1).cast("long")
+    sim = _x3_witness_sim(spark, sf).select(
+        F.lit(0).cast("long").alias("kind"), "node", "n_in", "n_out",
+        "n_shortcuts", "sc_u", "sc_w", "sc_weight_r", neg1.alias("rank"))
+    loc = _x4_x6_local_ch(spark, sf).select(
+        F.lit(1).cast("long").alias("kind"), "node", neg1.alias("n_in"),
+        neg1.alias("n_out"), "n_shortcuts", neg1.alias("sc_u"),
+        neg1.alias("sc_w"), F.lit(-1.0).alias("sc_weight_r"), "rank")
+    return sim.unionByName(loc)
 
 
 def q_g22_viewport(spark, sf):
@@ -723,8 +744,14 @@ def q_t_minhash_pairs(spark, sf):
     return D.minhash_pairs(_t(spark, sf, "documents"))
 
 
-def q_t_simhash(spark, sf):
-    return D.simhash16(_t(spark, sf, "documents"))
+def q_t_doc_signatures(spark, sf):
+    """Per-document signatures fused into one row (50-query gate cap):
+    16-bit SimHash (dedup.simhash16) LEFT-JOINed onto the rolling-hash
+    fingerprint (textops.fingerprint_udf) — a doc with zero tokens
+    keeps its fingerprint with NULL simhash, same as the SQL twin."""
+    d = _t(spark, sf, "documents")
+    fp = d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
+    return fp.join(D.simhash16(d), "doc_id", "left")
 
 
 def q_t_jaccard_consecutive(spark, sf):
@@ -752,9 +779,6 @@ def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
     return SIM.ivf_topk(_t(spark, sf, "embeddings"), k=3, n_cells=8, nprobe=2)
 
 
-def q_t_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", TX.fingerprint_udf()(F.col("text")).alias("fp"))
 
 
 # --- composed / golden-backed queries -----------------------------------
@@ -935,7 +959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_classify": q_tag_classify,
         "x1_edge_lead": q_x1_edge_lead,
         "g06_pip_tag": q_g06_pip_tag,
-        "g06_pip_partitioned": q_g06_pip_partitioned,
         "g22_tile_assign": q_g22_tile_assign,
         "g17_knn": q_g17_knn,
         "g01_distance": q_g01_distance,
@@ -944,8 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_mp_assembly": q_g20_mp_assembly,
         "g20_polygon_tags": q_g20_polygon_tags,
         "x5_ch_shortcuts": q_x5_ch_shortcuts,
-        "x3_witness_sim": q_x3_witness_sim,
-        "x4_x6_local_ch": q_x4_x6_local_ch,
+        "x3_x4_ch_local": q_x3_x4_ch_local,
         "l_linear_tiles": q_l_linear_tiles,
         "g22_viewport": q_g22_viewport,
         "g10_curve_keys": q_g10_curve_keys,
@@ -963,13 +985,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dedup_exact": q_t_dedup_exact,
         "t_text_stats": q_t_text_stats,
         "t_minhash_pairs": q_t_minhash_pairs,
-        "t_simhash": q_t_simhash,
+        "t_doc_signatures": q_t_doc_signatures,
         "t_jaccard_consecutive": q_t_jaccard_consecutive,
         "t_dedup_components": q_t_dedup_components,
         "s_cosine_topk": q_s_cosine_topk,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
-        "t_fingerprint": q_t_fingerprint,
         "x7_ch_path": q_x7_ch_path,
         "e2e_pbf_tiles": q_e2e_pbf_tiles,
         "g_kernel_values": q_g_kernel_values,
@@ -1036,7 +1057,9 @@ SELECT q.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio, l.pred_lang
 FROM q JOIN l USING (doc_id)"""
 
 
-def _simhash_sql():
+def _doc_signatures_sql():
+    """SimHash (LEFT-joined; a zero-token doc has no simhash row) +
+    rolling-hash fingerprint, fused like the Spark query."""
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
         for i in range(16)
@@ -1045,8 +1068,23 @@ def _simhash_sql():
     return f"""
 WITH {OSQL.MINHASH_TOKS_CTE},
 h AS (SELECT doc_id, {OSQL.TOKEN_HASH_DUCKDB} AS h FROM toks),
-agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"""
+agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg),
+bl AS (SELECT doc_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS n
+       FROM documents),
+r AS (SELECT doc_id, list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(0, n), i ->
+            CAST(16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+                 + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1 AS HUGEINT))),
+        (a, b) -> (a * 1000003 + b) % 18446744073709551616) AS u
+      FROM bl),
+fpt AS (SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808
+                         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
+        FROM r)
+SELECT f.doc_id, f.fp, s.simhash FROM fpt f LEFT JOIN sim s USING (doc_id)"""
 
 
 def _golden_sql(name: str) -> str:
@@ -1440,13 +1478,15 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id,
                    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
             FROM events""",
+        # one oracle, two physical paths (path 0 = broadcast, 1 =
+        # partitioned disk-index): identical match semantics required
         "g06_pip_tag": f"""
-            WITH {OSQL.pip_hits_sql().lstrip()}
-            SELECT d.doc_id, h.feature_id FROM documents d LEFT JOIN hits h USING (doc_id)""",
-        # identical match semantics through the partitioned disk-index path
-        "g06_pip_partitioned": f"""
-            WITH {OSQL.pip_hits_sql().lstrip()}
-            SELECT d.doc_id, h.feature_id FROM documents d LEFT JOIN hits h USING (doc_id)""",
+            WITH {OSQL.pip_hits_sql().lstrip()},
+            j AS (SELECT d.doc_id, h.feature_id
+                  FROM documents d LEFT JOIN hits h USING (doc_id))
+            SELECT CAST(0 AS BIGINT) AS path, doc_id, feature_id FROM j
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS path, doc_id, feature_id FROM j""",
         "g22_tile_assign": f"""
             WITH {OSQL.PTS_CTE},
             rows_(z, y, lat_hi, lat_lo) AS (VALUES {OSQL.tile_rows_values((8, 12))})
@@ -1504,8 +1544,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "l_linear_tiles": _golden_sql("l_linear_tiles"),
         "g20_mp_assembly": _golden_sql("g20_mp_assembly"),
         "x5_ch_shortcuts": _golden_sql("x5_ch_shortcuts"),
-        "x3_witness_sim": _golden_sql("x3_witness_sim"),
-        "x4_x6_local_ch": _golden_sql("x4_x6_local_ch"),
+        "x3_x4_ch_local": _golden_sql("x3_x4_ch_local"),
         "x7_ch_path": _golden_sql("x7_ch_path"),
         "e2e_pbf_tiles": _golden_sql("e2e_pbf_tiles"),
         "g_kernel_values": _golden_sql("g_kernel_values"),
@@ -1562,7 +1601,7 @@ def _oracle_sql_base() -> dict[str, str]:
             bands AS ({bands_union})
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
-        "t_simhash": _simhash_sql(),
+        "t_doc_signatures": _doc_signatures_sql(),
         # min-reachable-id closure via recursive CTE — the independent
         # single-machine twin of the iterative label propagation
         "t_dedup_components": f"""
@@ -1686,21 +1725,6 @@ def _oracle_sql_base() -> dict[str, str]:
         # Horner rolling hash h = (h*1000003 + byte) mod 2^64 over utf-8
         # bytes, HUGEINT arithmetic, then two's-complement map to BIGINT —
         # bit-exact twin of textops.fingerprint_udf (validated vs numpy).
-        "t_fingerprint": """
-            WITH bl AS (SELECT doc_id, hex(encode(text)) AS hx,
-                               octet_length(encode(text)) AS n
-                        FROM documents),
-            r AS (SELECT doc_id, list_reduce(
-                    list_prepend(CAST(0 AS HUGEINT),
-                      list_transform(range(0, n), i ->
-                        CAST(16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
-                             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1 AS HUGEINT))),
-                    (a, b) -> (a * 1000003 + b) % 18446744073709551616) AS u
-                  FROM bl)
-            SELECT doc_id,
-                   CAST(CASE WHEN u >= 9223372036854775808
-                             THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
-            FROM r""",
     }
 
 

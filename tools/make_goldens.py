@@ -358,7 +358,6 @@ def main() -> int:
         assert got_sc == want_sc
         print("  x3_witness_sim: plain-python witness re-simulation agrees")
 
-    record("x3_witness_sim", qs["x3_witness_sim"](spark, sf), check_x3)
 
     # --- x4_x6_local_ch: CH ordering invariants -------------------------
     def check_x4x6(pdf):
@@ -396,7 +395,14 @@ def main() -> int:
         print("  x4_x6_local_ch: permutation + via-rank + distance "
               "invariants hold")
 
-    record("x4_x6_local_ch", qs["x4_x6_local_ch"](spark, sf), check_x4x6)
+    def check_x3x4(pdf):
+        # the merged two-part table (50-query gate cap): kind 0 rows are
+        # the witness simulation, kind 1 the sequential contraction —
+        # each half re-checked by its original independent verifier
+        check_x3(pdf[pdf["kind"] == 0].drop(columns=["kind", "rank"]))
+        check_x4x6(pdf[pdf["kind"] == 1][["node", "rank", "n_shortcuts"]])
+
+    record("x3_x4_ch_local", qs["x3_x4_ch_local"](spark, sf), check_x3x4)
 
     # --- e2e_pbf_tiles: fixture-truth recompute of the composed chain ---
     def check_e2e(pdf):
