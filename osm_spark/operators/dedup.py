@@ -59,12 +59,32 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -
     return toks.groupBy(key).agg(*aggs)
 
 
+MAX_LSH_BUCKET = 1000  # all-pairs ceiling: <=N^2/2 candidates per bucket
+
+
 def minhash_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
-                  rows_per_band: int = 2) -> DataFrame:
+                  rows_per_band: int = 2,
+                  max_bucket: int | None = MAX_LSH_BUCKET,
+                  hot_stats: dict | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the signature.
 
     Bands of ``rows_per_band`` consecutive minhashes; pairs (a < b),
     distinct.  The classic shingle→minhash→band→bucket-join pipeline.
+
+    Hot-bucket guard (web corpora have degenerate boilerplate clusters —
+    one 100k-doc bucket would be 10^10 all-pairs candidates, and salting
+    cannot shrink a genuinely quadratic group): buckets larger than
+    ``max_bucket`` switch from all-pairs to STAR pairing — every member
+    pairs with the bucket's min id.  That keeps output linear in the
+    bucket while preserving exactly the connectivity
+    ``dedup_components`` needs (any two members stay joined through the
+    min), at the cost that a hot bucket's non-star pairs are not
+    individually verified; callers doing pairwise verification should
+    treat hot-bucket groups as "cluster then verify against the
+    canonical doc".  ``max_bucket=None`` disables the guard (the oracle
+    twin).  Pass a dict as ``hot_stats`` to run one extra count job that
+    fills ``{'hot_buckets': n, 'hot_rows': m}`` — the logged drop/split
+    evidence.
     """
     sig = minhash_signatures(df, key, text)
     n_bands = len(MINHASH_PERMS) // rows_per_band
@@ -84,14 +104,35 @@ def minhash_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
             ])
         ).alias("bb"),
     ).select(key, "bb.band", "bb.bkey")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bkey")
+        bands = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
+            "bmin", F.min(key).over(w))
+        if hot_stats is not None:
+            row = (bands.filter(F.col("bsz") > max_bucket)
+                   .agg(F.countDistinct("band", "bkey").alias("b"),
+                        F.count("*").alias("r")).collect()[0])
+            hot_stats["hot_buckets"] = row["b"] or 0
+            hot_stats["hot_rows"] = row["r"] or 0
+        star = (bands.filter(F.col("bsz") > max_bucket)
+                .select(F.col("bmin").alias("id_a"),
+                        F.col(key).alias("id_b"))
+                .filter(F.col("id_a") < F.col("id_b")))
+        bands = bands.filter(F.col("bsz") <= max_bucket).select(
+            key, "band", "bkey")
+    else:
+        star = None
     left = bands.withColumnRenamed(key, "id_a")
     right = bands.withColumnRenamed(key, "id_b")
-    return (
+    pairs = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def simhash16(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:

@@ -14,8 +14,15 @@ Chebyshev radius R of their own cell.  A query point whose best
 candidate lies strictly closer than ``R * cell_min`` (the smallest cell
 dimension in fixed-point units) cannot be beaten by any unregistered
 feature (those are ≥ R cells away).  Points that fail that bound — or
-found no candidate at all — fall back to a broadcast brute-force pass.
-At production scale the fallback fraction is tuned to ~0 by picking
+found no candidate at all — retry through expanding rings (radius
+doubles each round, reference rtree.ml best-first analog): the
+still-uncertified POINTS explode into the wider ring and equi-join
+features keyed at their own cell, so the feature side never re-explodes
+and never broadcasts.  Only a guarded-small final residue takes a brute
+pass, and that pass broadcasts the RESIDUE POINTS (never the feature
+layer) and streams features through mapInPandas with per-batch partial
+top-k — there is no full-layer broadcast on any path.  At production
+scale the fallback fraction is tuned to ~0 by picking
 ``cell_zoom``/``radius`` from the feature density histogram.
 """
 
@@ -64,6 +71,36 @@ def cell_min_extent(cell_zoom: int, lat_min_fp: int, lat_max_fp: int,
 
 
 BROADCAST_FEATURE_LIMIT = 200_000
+MAX_EXPANSIONS = 3          # ring-doubling retry rounds before the residue pass
+BRUTE_RESIDUE_LIMIT = 10_000  # max uncertified points the brute pass accepts
+
+
+def _topk_block(d2: np.ndarray, f_id: np.ndarray, kk: int):
+    """Deterministic top-k along axis 1 of a distance block.
+
+    Returns (part, pd2): column indices into ``f_id`` and their
+    distances, each row ordered by the global (dist2, feature_id) rule —
+    argpartition picks arbitrarily among distances tied AT the k-th
+    boundary, so tied rows are redone with a lexsort so every path (and
+    the SQL row_number oracle) agrees bit-for-bit."""
+    if kk < d2.shape[1]:
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        pd2 = np.take_along_axis(d2, part, axis=1)
+        kth = pd2.max(axis=1)
+        tied = np.nonzero((d2 <= kth[:, None]).sum(axis=1) > kk)[0]
+        for r in tied:
+            cand = np.nonzero(d2[r] <= kth[r])[0]
+            o2 = np.lexsort((f_id[cand], d2[r][cand]))[:kk]
+            part[r] = cand[o2]
+            pd2[r] = d2[r][part[r]]
+    else:
+        part = np.broadcast_to(np.arange(d2.shape[1]),
+                               (d2.shape[0], d2.shape[1])).copy()
+        pd2 = np.take_along_axis(d2, part, axis=1)
+    ordk = np.lexsort((f_id[part], pd2), axis=1)
+    part = np.take_along_axis(part, ordk, axis=1)
+    pd2 = np.take_along_axis(pd2, ordk, axis=1)
+    return part, pd2
 
 
 def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
@@ -116,29 +153,7 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
                                 where=dlon > K.LON_WORLD // 2)
                 dlon *= dlon
                 d2 += dlon
-                if kk < d2.shape[1]:
-                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                    pd2 = np.take_along_axis(d2, part, axis=1)
-                    # argpartition picks arbitrarily among distances
-                    # tied AT the k-th boundary; redo those rows with
-                    # the (dist2, feature_id) rule so every path (and
-                    # the SQL row_number oracle) agrees bit-for-bit
-                    kth = pd2.max(axis=1)
-                    tied = np.nonzero(
-                        (d2 <= kth[:, None]).sum(axis=1) > kk)[0]
-                    for r in tied:
-                        cand = np.nonzero(d2[r] <= kth[r])[0]
-                        o2 = np.lexsort((f_id[cand], d2[r][cand]))[:kk]
-                        part[r] = cand[o2]
-                        pd2[r] = d2[r][part[r]]
-                else:
-                    part = np.broadcast_to(np.arange(d2.shape[1]),
-                                           (e - s, d2.shape[1])).copy()
-                    pd2 = np.take_along_axis(d2, part, axis=1)
-                # final (dist2, feature_id) order within the k candidates
-                ordk = np.lexsort((f_id[part], pd2), axis=1)
-                part = np.take_along_axis(part, ordk, axis=1)
-                pd2 = np.take_along_axis(pd2, ordk, axis=1)
+                part, pd2 = _topk_block(d2, f_id, kk)
                 n = e - s
                 outs.append(pd.DataFrame({
                     "k": np.repeat(keys[s:e], kk),
@@ -158,6 +173,81 @@ def knn_broadcast(points: DataFrame, features: DataFrame, k: int = 1,
     ).withColumnRenamed("k", key)
 
 
+def _residue_brute(features: DataFrame, residue_rows, k: int,
+                   key: str) -> DataFrame:
+    """Exact kNN for a guarded-small point residue WITHOUT broadcasting
+    the feature layer: the residue points (already collected, bounded by
+    BRUTE_RESIDUE_LIMIT) ship to executors; features stream through one
+    mapInPandas pass emitting a per-batch partial top-k per point; a
+    final window merges the partials.  Candidate rows shuffled =
+    n_batches × |residue| × k — tiny, and no CartesianProduct /
+    BroadcastNestedLoopJoin appears in the plan."""
+    import pandas as pd
+
+    pid = np.array([r[0] for r in residue_rows], np.int64)
+    pla = np.array([r[1] for r in residue_rows], np.int64)
+    plo = np.array([r[2] for r in residue_rows], np.int64)
+    bc = features.sparkSession.sparkContext.broadcast((pid, pla, plo))
+    p_lo_min, p_lo_max = int(plo.min()), int(plo.max())
+
+    def fn(batches):
+        q_id, q_la, q_lo = bc.value
+        for pdf in batches:
+            fid = pdf["feature_id"].to_numpy(np.int64)
+            fla = pdf["flat"].to_numpy(np.int64)
+            flo = pdf["flon"].to_numpy(np.int64)
+            if not len(fid):
+                continue
+            wrap = (max(int(flo.max()), p_lo_max)
+                    - min(int(flo.min()), p_lo_min) > K.LON_WORLD // 2)
+            d2 = q_la[:, None] - fla[None, :]
+            d2 *= d2
+            dlon = q_lo[:, None] - flo[None, :]
+            np.abs(dlon, out=dlon)
+            if wrap:
+                np.subtract(K.LON_WORLD, dlon, out=dlon,
+                            where=dlon > K.LON_WORLD // 2)
+            dlon *= dlon
+            d2 += dlon
+            kk = min(k, d2.shape[1])
+            part, pd2 = _topk_block(d2, fid, kk)
+            yield pd.DataFrame({
+                "k": np.repeat(q_id, kk),
+                "feature_id": fid[part].ravel(),
+                "dist2": pd2.ravel(),
+            })
+
+    partials = features.select(
+        "feature_id", F.col("lat").alias("flat"), F.col("lon").alias("flon")
+    ).mapInPandas(
+        fn, "k long, feature_id long, dist2 long"
+    ).withColumnRenamed("k", key)
+    w = Window.partitionBy(key).orderBy("dist2", "feature_id")
+    return partials.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
+def _ring_candidates(pts: DataFrame, feats: DataFrame, radius: int,
+                     cell_zoom: int, key: str) -> DataFrame:
+    """Retry-round candidate generation: explode the (small, uncertified)
+    POINT side into the Chebyshev ring and equi-join features keyed at
+    their own cell — same candidate set as feature-side registration at
+    the same radius, but the big side never re-explodes or broadcasts.
+    Caller guarantees 2*radius+1 < 2**cell_zoom so pmod-wrapped cx values
+    stay distinct (no duplicate candidates)."""
+    off = F.sequence(F.lit(-radius), F.lit(radius))
+    pts_reg = (
+        pts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            key, "lat", "lon",
+            F.pmod(F.col("cx") + F.col("dx"), F.lit(1 << cell_zoom)).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    return pts_reg.join(feats, ["cx", "cy"], "inner")
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,
@@ -168,6 +258,8 @@ def knn_join(
     exact: bool = True,
     strategy: str = "auto",
     n_features: int | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+    brute_residue_limit: int = BRUTE_RESIDUE_LIMIT,
 ) -> DataFrame:
     """k nearest features (feature_id, flat, flon) for each point.
 
@@ -177,8 +269,12 @@ def knn_join(
     path (reference rtree.ml:209-258 analog) otherwise.  Pass
     ``n_features`` (or an explicit ``strategy``) in production pipelines
     to skip the auto-probe's bounded count at plan time.  ``exact=True``
-    adds the brute-force fallback pass for points the cell bound cannot
-    certify."""
+    certifies each point's result against the cell bound and retries
+    uncertified points at doubled radius (up to ``max_expansions``
+    rounds); a final residue larger than ``brute_residue_limit`` raises
+    (pick a larger radius / coarser cell_zoom) instead of risking a
+    quadratic pass — the residue brute itself never broadcasts the
+    feature layer (see _residue_brute)."""
     if strategy == "auto" and n_features is not None:
         strategy = "broadcast" if n_features <= BROADCAST_FEATURE_LIMIT else "cells"
     if strategy == "broadcast" or (
@@ -217,27 +313,54 @@ def knn_join(
     stats = points.agg(F.min("lat"), F.max("lat")).collect()[0]
     if stats[0] is None:          # no points: nothing to certify
         return ranked.select(key, "feature_id", "dist2", "rank")
-    bound = radius * cell_min_extent(cell_zoom, int(stats[0]),
-                                     int(stats[1]), pad=radius)
-    bound2 = bound * bound
+    lat_lo, lat_hi = int(stats[0]), int(stats[1])
 
-    kth = ranked.groupBy(key).agg(
-        F.max("dist2").alias("kth_d2"), F.count("*").alias("n_cand")
-    )
-    certified_keys = kth.filter((F.col("n_cand") >= k) & (F.col("kth_d2") < bound2)).select(key)
-    certified = ranked.join(F.broadcast(certified_keys), key, "left_semi")
+    def certified_keys(ranked_df: DataFrame, r: int) -> DataFrame:
+        # conservative: global lat range shrinks cell_min, never inflates
+        bound = r * cell_min_extent(cell_zoom, lat_lo, lat_hi, pad=r)
+        kth = ranked_df.groupBy(key).agg(
+            F.max("dist2").alias("kth_d2"), F.count("*").alias("n_cand")
+        )
+        return kth.filter(
+            (F.col("n_cand") >= k) & (F.col("kth_d2") < bound * bound)
+        ).select(key)
 
-    uncertified_pts = pts.join(F.broadcast(certified_keys), key, "left_anti")
-    brute = _rank_topk(
-        uncertified_pts.select(key, "lat", "lon").crossJoin(
-            F.broadcast(feats.select("feature_id", "flat", "flon"))
-        ),
-        key,
-        k,
-    )
-    return certified.select(key, "feature_id", "dist2", "rank").unionByName(
-        brute.select(key, "feature_id", "dist2", "rank")
-    )
+    # expanding rings (reference rtree.ml:209-258 best-first analog):
+    # each round, only still-uncertified points re-enter at doubled
+    # radius; the certified-key joins are left to AQE (it broadcasts
+    # small runtime sides itself — no forced broadcast of a key set
+    # whose size we can't bound at 10^12 pages)
+    ck = certified_keys(ranked, radius)
+    parts = [ranked.join(ck, key, "left_semi")]
+    remaining = pts.join(ck, key, "left_anti")
+    r = radius
+    for _ in range(max_expansions):
+        r *= 2
+        if 2 * r + 1 >= (1 << cell_zoom):
+            break  # ring would wrap onto itself; residue pass is exact
+        ranked_r = _rank_topk(
+            _ring_candidates(remaining, feats, r, cell_zoom, key)
+            .select(key, "lat", "lon", "feature_id", "flat", "flon"),
+            key, k,
+        )
+        ck = certified_keys(ranked_r, r)
+        parts.append(ranked_r.join(ck, key, "left_semi"))
+        remaining = remaining.join(ck, key, "left_anti")
+
+    residue_rows = remaining.select(key, "lat", "lon").limit(
+        brute_residue_limit + 1).collect()
+    if len(residue_rows) > brute_residue_limit:
+        raise ValueError(
+            f"knn_join: >{brute_residue_limit} points still uncertified "
+            f"after {max_expansions} ring expansions (radius {radius}->{r}, "
+            f"cell_zoom {cell_zoom}); pick a larger radius or coarser "
+            "cell_zoom instead of risking a quadratic brute pass")
+    if residue_rows:
+        parts.append(_residue_brute(features, residue_rows, k, key))
+    out = parts[0].select(key, "feature_id", "dist2", "rank")
+    for p in parts[1:]:
+        out = out.unionByName(p.select(key, "feature_id", "dist2", "rank"))
+    return out
 
 
 def brute_force_knn(points: DataFrame, features: DataFrame, k: int = 1,

@@ -223,6 +223,36 @@ def test_dedup_tokens_split_on_any_whitespace(spark):
     assert len(vals) == 1  # identical signatures for all three
 
 
+def test_minhash_hot_bucket_star_pairing(spark):
+    """A degenerate corpus (boilerplate: thousands of identical docs)
+    must produce LINEAR candidate output, not the quadratic all-pairs
+    set — the hot-bucket guard switches to star pairing against the
+    bucket's min id, and connectivity for dedup_components survives."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.operators.dedup import minhash_pairs
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated").alias("text"))
+    stats = {}
+    pairs = minhash_pairs(df, max_bucket=100, hot_stats=stats)
+    rows = pairs.collect()
+    # star pairing: every doc pairs with doc 0 exactly once -> n-1 pairs
+    assert len(rows) == n - 1
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, i) for i in range(1, n)}
+    assert stats["hot_buckets"] == 4          # every band is one hot bucket
+    assert stats["hot_rows"] == 4 * n
+    # sub-threshold corpora are unchanged by the guard
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc words "), F.col("id").cast("string")).alias("text"))
+    capped = {(r.id_a, r.id_b) for r in minhash_pairs(small, max_bucket=100).collect()}
+    uncapped = {(r.id_a, r.id_b) for r in minhash_pairs(small, max_bucket=None).collect()}
+    assert capped == uncapped
+
+
 def test_ppm_crlf_and_histogram_bins(spark):
     """CRLF after maxval must not shift the raster by one byte; the
     histogram bins contract rejects non-power-of-two bins."""

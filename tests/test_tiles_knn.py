@@ -128,6 +128,55 @@ def test_knn_sparse_features_fallback(spark, geo_pages):
     assert got == want
 
 
+def test_knn_cells_exact_expanding_rings(spark, geo_pages):
+    """Force the cell path with features so sparse that round-1
+    certification fails for most points: expanding-ring retries (and the
+    residue brute) must still match the brute-force oracle exactly."""
+    feats = geocode_ids(spark.range(3).withColumnRenamed("id", "feature_id"),
+                        "feature_id")
+    got = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in knn_join(geo_pages, feats, k=1, cell_zoom=8, radius=1,
+                          strategy="cells", exact=True).collect()
+    }
+    want = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in brute_force_knn(geo_pages, feats, k=1).collect()
+    }
+    assert got == want
+    assert len({p for p, *_ in got}) == N_PAGES
+
+
+def test_knn_cells_exact_residue_only(spark, geo_pages):
+    """max_expansions=0: every uncertified point goes through the
+    reverse-broadcast residue kernel (feature layer never broadcast);
+    results still exact."""
+    feats = geocode_ids(spark.range(3).withColumnRenamed("id", "feature_id"),
+                        "feature_id")
+    got = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in knn_join(geo_pages, feats, k=2, cell_zoom=8, radius=1,
+                          strategy="cells", exact=True,
+                          max_expansions=0).collect()
+    }
+    want = {
+        (r.page_id, r.rank, r.feature_id, r.dist2)
+        for r in brute_force_knn(geo_pages, feats, k=2).collect()
+    }
+    assert got == want
+
+
+def test_knn_residue_guard_raises(spark, geo_pages):
+    """A residue bigger than brute_residue_limit raises instead of
+    risking a quadratic pass."""
+    feats = geocode_ids(spark.range(2).withColumnRenamed("id", "feature_id"),
+                        "feature_id")
+    with pytest.raises(ValueError, match="uncertified"):
+        knn_join(geo_pages, feats, k=1, cell_zoom=8, radius=1,
+                 strategy="cells", exact=True, max_expansions=0,
+                 brute_residue_limit=5)
+
+
 def test_knn_cell_path_antimeridian(spark):
     """Cell-ring candidates wrap at ±180°: a point at lon +179.99°
     finds a feature at -179.99° as its nearest neighbor."""

@@ -235,6 +235,28 @@ def main():
         must_contain=("BroadcastHashJoin",),
     )
 
+    # 4b. kNN exact path: expanding rings + residue — the fallback must
+    # never broadcast the feature layer (r4 finding: the old brute pass
+    # was crossJoin(broadcast(ALL features)) = BroadcastNestedLoopJoin)
+    knn_exact = knn_join(geo, feats, k=1, cell_zoom=8, radius=1,
+                         key="doc_id", strategy="cells", exact=True)
+    plan = fmt(knn_exact)
+    checks.append(("kNN — exact fallback (expanding rings + residue)",
+                   "no CartesianProduct", "CartesianProduct" not in plan))
+    checks.append(("kNN — exact fallback (expanding rings + residue)",
+                   "no BroadcastNestedLoopJoin",
+                   "BroadcastNestedLoopJoin" not in plan))
+    sections.append(
+        "## kNN — exact fallback: expanding rings + reverse-broadcast "
+        "residue\n\n"
+        "Uncertified points retry through point-side ring explosion "
+        "(the feature layer never re-explodes or broadcasts); the final "
+        "guarded-small residue streams the features through MapInPandas "
+        "with the residue POINTS broadcast — so the plan contains no "
+        "CartesianProduct and no BroadcastNestedLoopJoin anywhere, i.e. "
+        "no full-layer broadcast on any kNN path.\n\n"
+        f"```\n{plan.strip()}\n```\n")
+
     # 5. viewport tile pruning
     tiles = T.page_tiles_exact(
         geo, T.tile_y_rows_df(spark, 12, FX.LAT0, FX.LAT0 + FX.SPAN),
