@@ -639,12 +639,20 @@ def q_e2e_warc_geo(spark, sf):
     (byte identity carried through to the output column) → url geocode
     → PIP spatial join vs the polygon layer → z12 tile assignment.
     The webtext twin of ``e2e_pbf_tiles`` — one composed row catches
-    inter-stage schema drift the per-stage gates cannot."""
+    inter-stage schema drift the per-stage gates cannot.
+
+    Round 5: the chain reads through ``read_warc_pages_text`` — the
+    DEFAULT for composed pipelines that don't need raw html.  Text
+    extraction runs inside the decode mapper (byte-identical python
+    twin of the JVM extractor, pinned by test_text_invariant), so html
+    bytes never cross the Arrow boundary; warcbench measured the full
+    chain at 1→4 efficiency 0.62 with html through Arrow vs 0.89
+    text-only (BENCH/ANALYSIS.md).  ``s2_warc_pages`` keeps the full
+    reader: it IS the byte-identity contract row and needs html."""
     from osm_spark.sources import warc
 
-    pages = warc.read_warc_pages(spark, _warc_fixture_path())
-    geo = geocode_pages(
-        pages.select("url", TX.extract_text_col(F.col("html")).alias("text")))
+    pages = warc.read_warc_pages_text(spark, _warc_fixture_path())
+    geo = geocode_pages(pages.select("url", "text"))
     # tile assignment fused as a broadcast range-join + integer column
     # expression (zero exchange over pages, integer-exact like
     # page_tiles_exact); the PIP match is the chain's single wide join
@@ -787,12 +795,29 @@ def q_s_ivf_topk(spark, sf):  # rows-only (float k-means cell ids)
 X7_PAIRS = [(0, 35), (7, 20), (13, 2), (5, 30), (31, 4)]
 
 
+# batch part: every node queries a deterministically scattered partner —
+# 36 pairs, enough to exercise partition fan-out in the batch kernel
+X7B_PAIRS = [(i, (i * 7 + 11) % 36) for i in range(36)
+             if i != (i * 7 + 11) % 36]
+
+
 def q_x7_ch_path(spark, sf):
-    """X7: bidirectional upward CH query + recursive shortcut expansion
-    (routing.ml:49-79 search, 92-145 expansion) on the grid-6 road
-    network — one row per path hop for a fixed (s, t) set.  The CH edge
-    set is collected driver-side by design: path queries are a serving
-    operation over the (small) contracted overlay in the reference too."""
+    """X7, both serving shapes in one two-part table (kind column):
+
+    kind 0 — driver-side point query: bidirectional upward CH search +
+    recursive shortcut expansion (routing.ml:49-79 search, 92-145
+    expansion) on the grid-6 road network, one row per path hop for the
+    fixed X7_PAIRS set.  Collected driver-side by design: point lookups
+    are a serving operation over the (small) contracted overlay in the
+    reference too.
+
+    kind 1 — DISTRIBUTED batch routing: the X7B_PAIRS (src, dst) set as
+    a DataFrame through ``ch_batch_routes`` — the contracted overlay
+    broadcasts once, the query side scales out in one mapInPandas pass
+    (routing.ml:148-172 serving design, distributed on the query axis;
+    the shape a "distance to nearest POI for 10^9 pages" pipeline
+    needs).  Same hop/path semantics, verified against the same plain-
+    Dijkstra oracle in make_goldens."""
     nodes, refs = FX.road_network_dfs(spark, grid=6)
     edges = RT.extract_edges(refs, nodes).select("src", "dst", "weight")
     res = RT.contract(edges)
@@ -803,8 +828,14 @@ def q_x7_ch_path(spark, sf):
         dist, path = RT.ch_query_path(ch_rows, s, t)
         for i, nd in enumerate(path):
             out.append((s, t, i, int(nd), round(dist, 6)))
-    return spark.createDataFrame(
-        out, "src long, dst long, seq long, node long, dist_r double")
+    point = spark.createDataFrame(
+        out, "src long, dst long, seq long, node long, dist_r double"
+    ).select(F.lit(0).alias("kind"), "*")
+    pairs = spark.createDataFrame(X7B_PAIRS, "src long, dst long") \
+        .repartition(8)
+    batch = RT.ch_batch_routes(pairs, res.edges, with_path=True) \
+        .select(F.lit(1).alias("kind"), "*")
+    return point.unionByName(batch)
 
 
 E2E_DSL = [

@@ -184,7 +184,8 @@ MAX_GROUP_RANK = 127
 
 
 def composite_cells(cells: DataFrame,
-                    group_rank: dict[int, int] | None = None) -> DataFrame:
+                    group_rank: dict[int, int] | None = None,
+                    remap_ids: bool | None = None) -> DataFrame:
     """Painter's-order raster compositing: ONE winning (feature_id,
     category) per cell when filled features overlap.
 
@@ -212,6 +213,18 @@ def composite_cells(cells: DataFrame,
     ``rasterize_polygons`` output satisfies this; duplicate rows would
     inflate both the area key and ``n_painted``.  Output one row per
     distinct (cx, cy).
+
+    Real OSM way/relation ids routinely exceed the 24-bit paint-key
+    field, so the operator is TOTAL over ids: when any feature_id falls
+    outside [0, 2^24) (auto-probed with one column-pruned scan;
+    ``remap_ids`` forces/forbids it), the tiebreak field becomes
+    ``dense_rank() over (order by feature_id)`` on the per-feature
+    frame instead of the raw id.  The rank preserves the id order, so
+    winners are bit-identical to the raw-id semantics, and it always
+    fits: distinct painted features <= occupied cells <= 2^24 on the
+    largest supported grid.  (The rank window is a single-partition
+    sort of the PER-FEATURE frame — bounded by the grid, never by the
+    layer size.)  Output rows always carry the original feature_id.
     """
     def _bounded(expr, lo, hi, what):
         # in-plan guard: zero extra passes over the data; an out-of-range
@@ -245,8 +258,19 @@ def composite_cells(cells: DataFrame,
         grp = F.lit(0).cast("long")
     area = (cells.groupBy("feature_id")
             .agg(F.count("*").alias("area_cells")))
-    fid = _bounded(F.col("feature_id").cast("long"), 0, FID_CAP - 1,
-                   "feature_id")
+    if remap_ids is None:
+        ext = cells.agg(F.min("feature_id"), F.max("feature_id")).collect()[0]
+        remap_ids = ext[0] is not None and (
+            int(ext[0]) < 0 or int(ext[1]) >= FID_CAP)
+    if remap_ids:
+        from pyspark.sql import Window
+        area = area.withColumn(
+            "fid_key",
+            F.dense_rank().over(Window.orderBy("feature_id")).cast("long") - 1)
+        fid = _bounded(F.col("fid_key"), 0, FID_CAP - 1, "fid_rank")
+    else:
+        fid = _bounded(F.col("feature_id").cast("long"), 0, FID_CAP - 1,
+                       "feature_id")
     area_cells = _bounded(F.col("area_cells"), 1, AREA_CAP - 1, "area_cells")
     keyed = cells.join(area, "feature_id").select(
         "feature_id", "category", "cx", "cy",

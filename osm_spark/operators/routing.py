@@ -790,6 +790,136 @@ def ch_query_path(ch_edges: list[tuple], s: int, t: int) -> tuple[float, list[in
     return float(best), path
 
 
+def _bidir_upward(up_fwd: dict, up_bwd: dict, s: int, t: int):
+    """Bidirectional upward Dijkstra (routing.ml:49-79): returns
+    (dist, meet, parents_fwd, parents_bwd); (inf, None, .., ..) if
+    unreachable.  Pure-python on purpose — CH search spaces are tiny
+    (that is the point of CH), so per-query heap work beats any
+    vectorization that would have to ship frontier state."""
+    import heapq
+
+    def search(adj, start):
+        dist = {start: 0.0}
+        par: dict[int, int] = {}
+        pq = [(0.0, start)]
+        while pq:
+            d0, x = heapq.heappop(pq)
+            if d0 > dist.get(x, np.inf):
+                continue
+            for y, w in adj.get(x, ()):
+                nd = d0 + w
+                if nd < dist.get(y, np.inf):
+                    dist[y] = nd
+                    par[y] = x
+                    heapq.heappush(pq, (nd, y))
+        return dist, par
+
+    df, pf = search(up_fwd, int(s))
+    db, pb = search(up_bwd, int(t))
+    best, meet = np.inf, None
+    for x, d in df.items():
+        if x in db and d + db[x] < best:
+            best, meet = d + db[x], x
+    return float(best), meet, pf, pb
+
+
+def _expand_pair_path(edge_map: dict, pf: dict, pb: dict,
+                      s: int, t: int, meet: int) -> list[int]:
+    """Original-node path s..t through ``meet`` (routing.ml:92-145)."""
+    up_chain = []
+    x = meet
+    while x != s:
+        up_chain.append((pf[x], x))
+        x = pf[x]
+    up_chain.reverse()
+    down_chain = []
+    x = meet
+    while x != t:
+        down_chain.append((x, pb[x]))
+        x = pb[x]
+    path = [s]
+    for u, v in up_chain + down_chain:
+        path.extend(expand_ch_edge(edge_map, u, v))
+    return path
+
+
+def ch_batch_routes(pairs: DataFrame, ch_edges: DataFrame,
+                    with_path: bool = False) -> DataFrame:
+    """X7 at pipeline scale: many (src, dst) queries → distance (and
+    optionally the expanded original-node path) in ONE mapInPandas pass.
+
+    The contracted overlay ships to every executor once (broadcast) —
+    the same "CH lives in memory, queries stream" design the reference
+    serves point queries from (osm/routing.ml:148-172; README.md:22-24
+    sizes the planet overlay for a single machine) — while the QUERY
+    side scales out across partitions: 10^9 (page → POI) pairs are
+    embarrassingly parallel, zero shuffles, zero joins.
+
+    ``pairs``: (src, dst) rows.  ``ch_edges``: ``contract().edges``
+    with (src, dst, weight, via, rank_src, rank_dst).  Output
+    ``with_path=False``: (src, dst, dist_r) one row per pair (dist_r =
+    round(dist, 6), inf if unreachable); ``with_path=True``: (src, dst,
+    seq, node, dist_r) exploded hops, same schema as the x7_ch_path
+    driver row (unreachable pairs emit no rows).
+    """
+    import pandas as pd
+
+    rows = ch_edges.select("src", "dst", "weight", "via",
+                           "rank_src", "rank_dst").collect()
+    up_fwd: dict[int, list[tuple[int, float]]] = {}
+    up_bwd: dict[int, list[tuple[int, float]]] = {}
+    edge_map: dict[tuple[int, int], tuple[float, int | None]] = {}
+    for src, dst, w, via, r_s, r_d in rows:
+        key = (int(src), int(dst))
+        if key not in edge_map or w < edge_map[key][0]:
+            edge_map[key] = (float(w), None if via is None else int(via))
+        if r_d > r_s:
+            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
+        if r_s > r_d:
+            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
+    bc = pairs.sparkSession.sparkContext.broadcast(
+        (up_fwd, up_bwd, edge_map if with_path else None))
+
+    if with_path:
+        schema = "src long, dst long, seq long, node long, dist_r double"
+
+        def fn(batches):
+            fwd, bwd, emap = bc.value
+            for pdf in batches:
+                out = []
+                for s, t in zip(pdf["src"], pdf["dst"]):
+                    s, t = int(s), int(t)
+                    d, meet, pf, pb = _bidir_upward(fwd, bwd, s, t)
+                    if meet is None:
+                        continue
+                    dr = round(d, 6)
+                    for i, nd in enumerate(
+                            _expand_pair_path(emap, pf, pb, s, t, meet)):
+                        out.append((s, t, i, int(nd), dr))
+                yield pd.DataFrame(
+                    out, columns=["src", "dst", "seq", "node", "dist_r"]
+                ) if out else pd.DataFrame({
+                    "src": pd.array([], dtype="int64"),
+                    "dst": pd.array([], dtype="int64"),
+                    "seq": pd.array([], dtype="int64"),
+                    "node": pd.array([], dtype="int64"),
+                    "dist_r": pd.array([], dtype="float64")})
+    else:
+        schema = "src long, dst long, dist_r double"
+
+        def fn(batches):
+            fwd, bwd, _ = bc.value
+            for pdf in batches:
+                ss = pdf["src"].astype("int64")
+                tt = pdf["dst"].astype("int64")
+                dd = [round(_bidir_upward(fwd, bwd, int(s), int(t))[0], 6)
+                      for s, t in zip(ss, tt)]
+                yield pd.DataFrame({"src": ss, "dst": tt,
+                                    "dist_r": pd.array(dd, dtype="float64")})
+
+    return pairs.select("src", "dst").mapInPandas(fn, schema)
+
+
 def dijkstra_ref(edge_rows: list[tuple], s: int) -> dict[int, float]:
     """Plain-Dijkstra oracle over (src, dst, weight) rows (test baseline)."""
     import heapq

@@ -643,7 +643,10 @@ def _partitioned_join_mapper(layer_path: str, z: int, how: str,
             if not len(b):
                 continue
             group.append(b)
-            gbytes += int(b.memory_usage(index=False).sum())
+            # deep=True: object-dtype columns (string page keys / urls)
+            # must count their payload, not 8 bytes/pointer — otherwise
+            # held memory can exceed the budget by the string factor
+            gbytes += int(b.memory_usage(index=False, deep=True).sum())
             if gbytes >= budget:
                 yield flush(group)
                 group, gbytes = [], 0

@@ -566,7 +566,15 @@ def read_warc_pages_text(spark: SparkSession, path: str) -> DataFrame:
     of the JVM extractor) so html bytes never cross the Arrow boundary
     — about half the mapper transfer of ``read_warc_pages_full`` for
     pipelines that only need text.  lang derives JVM-side from the
-    (small) text column."""
+    (small) text column.
+
+    This is the DEFAULT reader for composed pipelines (e2e_warc_geo
+    uses it): warcbench measured 1→4 chain efficiency 0.89 here vs
+    0.62 when html rides through Arrow (BENCH/ANALYSIS.md).  Use
+    ``read_warc_pages``/``read_warc_pages_full`` only when downstream
+    stages genuinely need raw html bytes — media extraction
+    (multimodal.py), link-graph parsing, or the byte-identity contract
+    itself (s2_warc_pages)."""
     from osm_spark.operators import textops as TX
 
     recs = decode_records(

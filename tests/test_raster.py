@@ -242,6 +242,28 @@ def test_composite_feature_id_tiebreak_and_no_layer_col(spark):
     assert got[(1, 0)] == (9, 2) and got[(1, 1)] == (9, 2)
 
 
+def test_composite_real_osm_ids_beyond_24_bits(spark):
+    """Real OSM way ids exceed 2^24: the auto dense_rank remap keeps
+    the operator total, winners still follow the (group, layer, -area,
+    feature_id) paint order, and output rows carry the original ids."""
+    big = 1 << 40
+    rows = (_block(big + 7, 1, 0, 0, 0, 4, 4)       # large, painted first
+            + _block(big + 9, 2, 0, 1, 1, 2, 2)     # small, on top
+            + _block(big + 8, 3, 0, 1, 1, 2, 2))    # same area: larger id wins
+    got, out = _composite_rows(spark, rows)
+    assert got == _paint_reference(rows)
+    assert got[(1, 1)] == (big + 9, 2)
+    assert got[(0, 0)] == (big + 7, 1)
+    assert set(out.feature_id) <= {big + 7, big + 8, big + 9}
+    # forcing remap off still raises loudly on oversized ids
+    import pytest as _pt
+    from osm_spark.operators.raster import composite_cells
+    df = spark.createDataFrame(rows,
+        "feature_id long, category int, layer int, cx long, cy long")
+    with _pt.raises(Exception, match="paint key"):
+        composite_cells(df, remap_ids=False).collect()
+
+
 def test_composite_over_rasterized_overlap(spark):
     """End-to-end: two overlapping vector squares through
     rasterize_polygons -> composite_cells."""

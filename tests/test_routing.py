@@ -170,3 +170,46 @@ def test_ch_path_expansion(spark, graph):
             assert walk == pytest.approx(want, rel=1e-9)
             n_checked += 1
     assert n_checked >= 8
+
+
+def test_ch_batch_routes_matches_point_queries(spark, graph):
+    """X7 batch: the distributed mapInPandas kernel returns the same
+    distances and valid optimal walks as the driver-side point query,
+    for every (s, t) pair of a scattered batch."""
+    edges, rows = graph
+    res = RT.contract(edges.select("src", "dst", "weight"))
+    orig = {(s, d): w for s, d, w in rows}
+    nodes = sorted({s for s, _, _ in rows})
+    pair_list = [(int(nodes[i]), int(nodes[(i * 5 + 3) % len(nodes)]))
+                 for i in range(0, len(nodes), 2)
+                 if nodes[i] != nodes[(i * 5 + 3) % len(nodes)]]
+    pairs = spark.createDataFrame(pair_list, "src long, dst long") \
+        .repartition(4)
+
+    # distance-only mode: one row per pair, exact vs plain Dijkstra
+    got_d = {(r.src, r.dst): r.dist_r
+             for r in RT.ch_batch_routes(pairs, res.edges).collect()}
+    assert set(got_d) == set(pair_list)
+    for s, t in pair_list:
+        want = RT.dijkstra_ref(rows, s).get(t, np.inf)
+        if np.isfinite(want):
+            assert got_d[(s, t)] == pytest.approx(round(want, 6), rel=1e-9)
+        else:
+            assert not np.isfinite(got_d[(s, t)])
+
+    # path mode: hops are original edges summing to the exact distance
+    out = RT.ch_batch_routes(pairs, res.edges, with_path=True).collect()
+    by_pair: dict = {}
+    for r in out:
+        by_pair.setdefault((r.src, r.dst), []).append(r)
+    n_checked = 0
+    for (s, t), hops in by_pair.items():
+        hops.sort(key=lambda r: r.seq)
+        path = [r.node for r in hops]
+        assert path[0] == s and path[-1] == t
+        walk = sum(orig[(u, v)] for u, v in zip(path, path[1:]))
+        assert walk == pytest.approx(
+            RT.dijkstra_ref(rows, s)[t], rel=1e-9)
+        assert hops[0].dist_r == pytest.approx(round(walk, 6), rel=1e-9)
+        n_checked += 1
+    assert n_checked >= len(pair_list) - 2  # all reachable pairs present

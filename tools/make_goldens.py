@@ -287,18 +287,29 @@ def main() -> int:
         adj = {}
         for (s, d), w in orig.items():
             adj.setdefault(s, []).append((d, w))
-        for s, t in entry.X7_PAIRS:
-            want = dijkstra(adj, s).get(t, float("inf"))
-            sub = pdf[(pdf.src == s) & (pdf.dst == t)].sort_values("seq")
-            path = [int(n) for n in sub.node]
-            assert path[0] == s and path[-1] == t, (s, t, path)
-            walk = 0.0
-            for u, v in zip(path, path[1:]):
-                assert (u, v) in orig, (u, v)   # every hop an original edge
-                walk += orig[(u, v)]
-            assert abs(walk - want) < 1e-6 * max(want, 1.0), (s, t, walk, want)
-            assert abs(sub.dist_r.iloc[0] - round(want, 6)) < 1e-6
-        print("  x7_ch_path: paths are optimal walks (pure-python Dijkstra)")
+        for kind, pair_set in ((0, entry.X7_PAIRS), (1, entry.X7B_PAIRS)):
+            part = pdf[pdf.kind == kind]
+            n_checked = 0
+            for s, t in pair_set:
+                want = dijkstra(adj, s).get(t, float("inf"))
+                sub = part[(part.src == s) & (part.dst == t)] \
+                    .sort_values("seq")
+                if want == float("inf"):
+                    assert len(sub) == 0, (kind, s, t)
+                    continue
+                path = [int(n) for n in sub.node]
+                assert path[0] == s and path[-1] == t, (kind, s, t, path)
+                walk = 0.0
+                for u, v in zip(path, path[1:]):
+                    assert (u, v) in orig, (u, v)  # hop = original edge
+                    walk += orig[(u, v)]
+                assert abs(walk - want) < 1e-6 * max(want, 1.0), \
+                    (kind, s, t, walk, want)
+                assert abs(sub.dist_r.iloc[0] - round(want, 6)) < 1e-6
+                n_checked += 1
+            assert n_checked > 0, kind
+            print(f"  x7_ch_path kind {kind}: {n_checked} pairs are "
+                  "optimal walks (pure-python Dijkstra)")
 
     record("x7_ch_path", qs["x7_ch_path"](spark, sf), check_x7)
 
