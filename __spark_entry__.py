@@ -439,12 +439,31 @@ def q_s_near_dup_bucketed(spark, sf):
         _t(spark, sf, "embeddings"), threshold=0.4, dim=64)
 
 
+# golden pixels for the kind-2 JPEG rows: resize_nearest(decode_jpeg_gray(
+# jpeg_fixture(i)), 8, 6) hex — pinned literals, so a change in EITHER
+# codec half (numpy baseline encoder or decoder, operators/jpeg.py)
+# breaks the mm_media hash; the same goldens are pytest-pinned in
+# test_cluster_multimodal.py
+MM_JPEG_GOLDENS = {
+    0: "01070E151C222A300C131A21282E363C181F272D343B4249242B3239404"
+       "74E5431383F454C535B613D444B51585F666D",
+    1: "1B222930363D454B272E353B42495057333A41474F565D633F464D535B6"
+       "2696F4C535A60676E757C585E666C737A8188",
+    2: "363D444A51586066424950565D646B724F565C626A71787E5B62686E767"
+       "C848A686E757C838A9097737A81888E969CA3",
+}
+MM_JPEG_GOLDEN_VALUES = ", ".join(
+    f"({i}, 2, 0, '{h}')" for i, h in MM_JPEG_GOLDENS.items())
+
+
 def q_mm_media(spark, sf):
-    """Byte-histogram features + sampled frames in one result (kind 0 =
-    histogram bin, kind 1 = frame): one row per (doc, kind, idx) with
-    hashable scalars for the driver's canonicalizer (an array<long>
-    column is not; frame bytes hex-encoded so DuckDB rebuilds them from
-    sha256 arithmetic).  Frames restricted to the deterministic subset
+    """Byte-histogram features + sampled frames + decoded JPEG pixels in
+    one result (kind 0 = histogram bin, kind 1 = frame, kind 2 = the
+    numpy-only baseline JPEG decode, resized, hex): one row per (doc,
+    kind, idx) with hashable scalars for the driver's canonicalizer (an
+    array<long> column is not; bytes hex-encoded so DuckDB rebuilds
+    kinds 0-1 from sha256 arithmetic and kind 2 from pinned golden
+    literals).  Frames restricted to the deterministic subset
     doc_id < 200 (not LIMIT)."""
     media = MM.attach_fake_media(_t(spark, sf, "documents"))
     h = MM.byte_histogram_features(media)
@@ -460,7 +479,14 @@ def q_mm_media(spark, sf):
         "doc_id", F.lit(1).cast("int").alias("kind"),
         F.col("frame_idx").cast("long").alias("idx"),
         F.hex(F.col("frame")).alias("val"))
-    return hist.unionByName(frames)
+    jp = spark.createDataFrame(
+        [(i, bytearray(MM.jpeg_fixture(i))) for i in sorted(MM_JPEG_GOLDENS)],
+        "doc_id long, media binary")
+    jrows = MM.decode_and_resize(jp, 8, 6).select(
+        "doc_id", F.lit(2).cast("int").alias("kind"),
+        F.lit(0).cast("long").alias("idx"),
+        F.hex(F.col("pixels")).alias("val"))
+    return hist.unionByName(frames).unionByName(jrows)
 
 
 def q_g_raster_roundtrip(spark, sf):
@@ -1620,8 +1646,14 @@ def _oracle_sql_base() -> dict[str, str]:
             fr_ AS (
               SELECT doc_id, CAST(1 AS INT) AS kind, CAST(k AS BIGINT) AS idx,
                      upper(substr(ph, CAST(2 * off + 1 AS INT), 64)) AS val
-              FROM o_)
-            SELECT * FROM hist_ UNION ALL SELECT * FROM fr_""",
+              FROM o_),
+            jp_ AS (
+              SELECT * FROM (VALUES {MM_JPEG_GOLDEN_VALUES})
+              AS t(doc_id, kind, idx, val))
+            SELECT * FROM hist_ UNION ALL SELECT * FROM fr_
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(kind AS INT),
+                   CAST(idx AS BIGINT), val FROM jp_""",
         "g_raster_roundtrip": _raster_oracle_sql(),
         "t_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups

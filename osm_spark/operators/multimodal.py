@@ -228,20 +228,34 @@ def decode_png_gray(b: bytes) -> np.ndarray:
             cur = (np.cumsum(d, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
         elif f == 2:                       # Up
             cur = (r.astype(np.uint16) + prev).astype(np.uint8)
-        elif f == 3:                       # Average (sequential in x)
-            cur = np.empty(stride, np.uint8)
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(r[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:                       # Paeth (sequential in x)
-            cur = np.empty(stride, np.uint8)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = int(prev[x])
-                pa, pb, pc = abs(p - c), abs(a - c), abs(a + p - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (p if pb <= pc else c)
-                cur[x] = (int(r[x]) + pred) & 0xFF
+        elif f == 3:                       # Average: sequential in x, but
+            # vectorized over the bpp byte lanes — w iterations of lane
+            # vectors instead of `stride` scalar-indexing iterations
+            r2 = r.reshape(-1, bpp).astype(np.int32)
+            up2 = prev.reshape(-1, bpp).astype(np.int32)
+            cur2 = np.empty_like(r2)
+            left = np.zeros(bpp, np.int32)
+            for xp in range(r2.shape[0]):
+                left = (r2[xp] + ((left + up2[xp]) >> 1)) & 0xFF
+                cur2[xp] = left
+            cur = cur2.astype(np.uint8).reshape(-1)
+        elif f == 4:                       # Paeth: same lane-vector walk
+            r2 = r.reshape(-1, bpp).astype(np.int32)
+            up2 = prev.reshape(-1, bpp).astype(np.int32)
+            cur2 = np.empty_like(r2)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for xp in range(r2.shape[0]):
+                up = up2[xp]
+                pa = np.abs(up - upleft)
+                pb = np.abs(left - upleft)
+                pc = np.abs(left + up - 2 * upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, upleft))
+                left = (r2[xp] + pred) & 0xFF
+                cur2[xp] = left
+                upleft = up
+            cur = cur2.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         recon[y] = cur
@@ -259,6 +273,20 @@ def decode_png_gray(b: bytes) -> np.ndarray:
             // 1000).astype(np.uint8)
 
 
+def jpeg_fixture(doc_id: int) -> bytes:
+    """Deterministic 32×24 color JPEG for tests/driver rows: per-doc
+    gradients through the baseline encoder (q85, 4:2:0).  Pinned by
+    golden-pixel tests — a change in either codec half breaks them."""
+    from osm_spark.operators.jpeg import encode_baseline
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([(xx * 3 + yy * 2 + doc_id * 17) % 200,
+                    (xx + yy * 4 + doc_id * 29) % 200,
+                    (xx * 2 + yy + doc_id * 43) % 200],
+                   -1).astype(np.uint8)
+    return encode_baseline(img, quality=85, subsample=True)
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample: source index
     (i * src) // dst per axis."""
@@ -273,11 +301,14 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
     """Image decode + resize to width*height grayscale bytes.
 
     Real decode path: numpy-only BMP (BI_RGB 24/32bpp), binary netpbm
-    (P6/P5) and non-interlaced 8-bit PNG decoders + nearest-neighbor
-    resize — no external libs.  Other formats (JPEG-class) fall back
-    to PIL when available and raise ``NotImplementedError`` otherwise.  ``fake=True`` keeps the
-    clearly-marked deterministic fake (sha256-expanded bytes) for
-    plumbing tests over arbitrary payloads."""
+    (P6/P5), non-interlaced 8-bit PNG and baseline-sequential JPEG
+    (osm_spark.operators.jpeg) decoders + nearest-neighbor resize — no
+    external libs; that covers the dominant Common-Crawl media formats.
+    Anything else (progressive JPEG, WebP, GIF, ...) falls back to PIL
+    when available and raises ``NotImplementedError`` otherwise.
+    ``fake=True`` keeps the clearly-marked deterministic fake
+    (sha256-expanded bytes) for plumbing tests over arbitrary
+    payloads."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
@@ -308,12 +339,17 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
                 elif b[:8] == PNG_SIG:
                     out.append(resize_nearest(
                         decode_png_gray(b), width, height).tobytes())
+                elif b[:2] == b"\xff\xd8":
+                    from osm_spark.operators.jpeg import decode_jpeg_gray
+                    out.append(resize_nearest(
+                        decode_jpeg_gray(b), width, height).tobytes())
                 elif not have_pil:
                     raise NotImplementedError(
-                        "only BMP/netpbm/PNG decode is built in; this payload "
-                        "needs PIL (not available in this environment); "
-                        "use fake=True to exercise the plumbing, or "
-                        "byte_histogram_features for byte-level features")
+                        "only BMP/netpbm/PNG/baseline-JPEG decode is built "
+                        "in; this payload needs PIL (not available in this "
+                        "environment); use fake=True to exercise the "
+                        "plumbing, or byte_histogram_features for "
+                        "byte-level features")
                 else:
                     img = Image.open(io.BytesIO(b)).convert(
                         "L").resize((width, height))

