@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = 9994
-POLYLINE, POLYGON = 3, 5
+POINT, POLYLINE, POLYGON, MULTIPOINT = 1, 3, 5, 8
+# Z/M variants share the xy layout with their base type; the trailing
+# z/m arrays sit AFTER the xy block and are simply not read
+POINT_TYPES = {1, 11, 21}
+MULTIPOINT_TYPES = {8, 18, 28}
+POLY_TYPES = {3, 5, 13, 15, 23, 25}
 FIXED = 10_000_000.0
 
 
@@ -84,7 +89,16 @@ def decode_record(content: bytes) -> list[tuple[int, np.ndarray, np.ndarray]]:
     typ = struct.unpack("<i", content[0:4])[0]
     if typ == 0:                                   # null shape
         return []
-    if typ not in (POLYLINE, POLYGON):
+    if typ in POINT_TYPES:                         # x, y at offset 4
+        x, y = struct.unpack("<2d", content[4:20])
+        return [(0, np.array([round(y * FIXED)], np.int64),
+                 np.array([round(x * FIXED)], np.int64))]
+    if typ in MULTIPOINT_TYPES:                    # bbox, n, points
+        n = struct.unpack("<i", content[36:40])[0]
+        pts = np.frombuffer(content, "<f8", n * 2, 40)
+        return [(0, np.rint(pts[1::2] * FIXED).astype(np.int64),
+                 np.rint(pts[0::2] * FIXED).astype(np.int64))]
+    if typ not in POLY_TYPES:
         raise ValueError(f"unsupported shape type {typ}")
     num_parts, num_points = struct.unpack("<ii", content[36:44])
     parts = np.frombuffer(content, "<i4", num_parts, 44)
@@ -145,14 +159,22 @@ def write_shp(path: str, shapes: list[tuple[int, list[list[tuple[float, float]]]
         xs = [x for x, _ in flat]
         ys = [y for _, y in flat]
         content = struct.pack("<i", typ)
-        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
-        content += struct.pack("<ii", len(parts), len(flat))
-        off = 0
-        for part in parts:
-            content += struct.pack("<i", off)
-            off += len(part)
-        for x, y in flat:
-            content += struct.pack("<2d", x, y)
+        if typ == POINT:                 # x, y only — no bbox, no parts
+            content += struct.pack("<2d", *flat[0])
+        elif typ == MULTIPOINT:          # bbox + count + points
+            content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+            content += struct.pack("<i", len(flat))
+            for x, y in flat:
+                content += struct.pack("<2d", x, y)
+        else:
+            content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+            content += struct.pack("<ii", len(parts), len(flat))
+            off = 0
+            for part in parts:
+                content += struct.pack("<i", off)
+                off += len(part)
+            for x, y in flat:
+                content += struct.pack("<2d", x, y)
         records.append((num, content))
 
     def header(total_words: int) -> bytes:

@@ -61,3 +61,34 @@ def test_coastline_from_shapefile(spark, shp_path):
     assert len(out) == 3                   # snapped ring + 2 closed parts
     for r in out:
         assert r.lats[0] == r.lats[-1] and r.lons[0] == r.lons[-1]
+
+
+def test_point_multipoint_and_z_variants(spark, tmp_path):
+    """Point (1) and MultiPoint (8) records decode to single-part rows;
+    Z/M-suffixed poly types parse their xy block (trailing z/m arrays
+    are not read, so a spliced PolyLineZ record decodes identically)."""
+    import struct
+
+    shapes = [
+        (SHP.POINT, [[(12.5, -33.25)]]),
+        (SHP.MULTIPOINT, [[(0.0, 0.0), (1.0, 2.0), (-3.0, 4.0)]]),
+    ]
+    p = tmp_path / "pts.shp"
+    SHP.write_shp(str(p), shapes)
+    rows = {(r.rec_num, r.part): (list(r.lats), list(r.lons))
+            for r in SHP.read_shp(spark, str(p)).collect()}
+    assert rows[(1, 0)] == ([-332_500_000], [125_000_000])
+    assert rows[(2, 0)] == ([0, 20_000_000, 40_000_000],
+                            [0, 10_000_000, -30_000_000])
+
+    # PolyLineZ (13): base PolyLine content + z-range + z values appended
+    base = struct.pack("<i", 13)
+    base += struct.pack("<4d", 0, 0, 1, 1)          # bbox
+    base += struct.pack("<ii", 1, 2) + struct.pack("<i", 0)
+    base += struct.pack("<4d", 0.0, 0.0, 1.0, 1.0)  # xy points
+    base += struct.pack("<2d", 5.0, 6.0)            # z range
+    base += struct.pack("<2d", 5.0, 6.0)            # z values (ignored)
+    parts = SHP.decode_record(base)
+    assert len(parts) == 1
+    assert parts[0][1].tolist() == [0, 10_000_000]   # lats
+    assert parts[0][2].tolist() == [0, 10_000_000]   # lons
