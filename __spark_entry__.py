@@ -775,7 +775,13 @@ def q_t_text_stats(spark, sf):
 
 
 def q_t_minhash_pairs(spark, sf):
-    return D.minhash_pairs(_t(spark, sf, "documents"))
+    """Uncapped (max_bucket=None): the DuckDB oracle computes all-pairs
+    band collisions, so the gate must too — a fixture bucket crossing
+    MAX_LSH_BUCKET at a larger sf would otherwise diverge (star vs
+    all-pairs).  The hot-bucket star path is pinned by
+    tests/test_cluster_multimodal.py (capped-vs-uncapped set algebra +
+    hot_stats counts)."""
+    return D.minhash_pairs(_t(spark, sf, "documents"), max_bucket=None)
 
 
 def q_t_doc_signatures(spark, sf):

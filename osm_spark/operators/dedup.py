@@ -179,10 +179,23 @@ def ngram_jaccard_consecutive(df: DataFrame, key: str = "doc_id",
 
 
 def minhash_dedup_groups(df: DataFrame, key: str = "doc_id", text: str = "text",
-                         verify_threshold: float = 0.7) -> DataFrame:
+                         verify_threshold: float = 0.7,
+                         max_bucket: int | None = MAX_LSH_BUCKET) -> DataFrame:
     """End-to-end near-dup: LSH candidates verified by exact Jaccard,
-    keep pairs above threshold."""
-    cand = minhash_pairs(df, key, text)
+    keep pairs above threshold.
+
+    ``max_bucket`` passes through to :func:`minhash_pairs`.  Under the
+    default hot-bucket guard, a bucket above the cap contributes STAR
+    candidates only (member, bucket-min) — each star pair is still
+    exactly Jaccard-verified here, but two members of a hot bucket that
+    are near-dups of each other *without* being near-dups of the
+    canonical min (and share no other cool bucket) will not appear as an
+    output pair; they remain connected through the canonical only when
+    both verify against it.  This is the documented cluster-through-
+    the-canonical semantics that keeps a degenerate 100k-doc bucket
+    linear instead of 10^10 pairs.  Pass ``max_bucket=None`` for exact
+    all-pairs verification on corpora known to be bounded."""
+    cand = minhash_pairs(df, key, text, max_bucket=max_bucket)
     toks = tokens(df, key, text)
     ta = toks.withColumnRenamed(key, "id_a")
     tb = toks.withColumnRenamed(key, "id_b")

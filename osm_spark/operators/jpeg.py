@@ -385,6 +385,7 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.truncated = False
 
     def _fill(self) -> None:
         d = self.data
@@ -410,6 +411,17 @@ class _BitReader:
     def bit(self) -> int:
         if not self.nbits:
             self._fill()
+            if not self.nbits:
+                # _fill stopped at a marker (RST/EOI/next segment) while
+                # the decoder still needs bits: truncated entropy
+                # segment (partial downloads are ubiquitous in crawls).
+                # Spec behaviour is to read the missing data as 1-bits,
+                # same as the physical end-of-data pad above — the tail
+                # MCUs come out as garbage but the decode completes
+                # instead of dying on a negative shift.
+                self.acc = 0xFF
+                self.nbits = 8
+                self.truncated = True
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
@@ -438,7 +450,8 @@ def _huff_read(r: _BitReader, h: _HuffDecoder) -> int:
         if h.maxcode[length] >= code:
             return h.values[h.valptr[length] + code - h.mincode[length]]
         code = (code << 1) | r.bit()
-    raise ValueError("JPEG: bad Huffman code")
+    raise ValueError("JPEG: bad Huffman code (truncated scan)"
+                     if r.truncated else "JPEG: bad Huffman code")
 
 
 def _extend(v: int, cat: int) -> int:
@@ -582,7 +595,6 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                             k += 1
 
     qt = qts[luma["tq"]]
-    deq = np.zeros((len(yblocks), 8, 8), np.float64)
     nat = np.zeros((len(yblocks), 64), np.int32)
     nat[:, ZIGZAG] = yblocks
     deq = nat.reshape(-1, 8, 8) * qt

@@ -200,22 +200,31 @@ def _residue_brute(features: DataFrame, residue_rows, k: int,
                 continue
             wrap = (max(int(flo.max()), p_lo_max)
                     - min(int(flo.min()), p_lo_min) > K.LON_WORLD // 2)
-            d2 = q_la[:, None] - fla[None, :]
-            d2 *= d2
-            dlon = q_lo[:, None] - flo[None, :]
-            np.abs(dlon, out=dlon)
-            if wrap:
-                np.subtract(K.LON_WORLD, dlon, out=dlon,
-                            where=dlon > K.LON_WORLD // 2)
-            dlon *= dlon
-            d2 += dlon
-            kk = min(k, d2.shape[1])
-            part, pd2 = _topk_block(d2, fid, kk)
-            yield pd.DataFrame({
-                "k": np.repeat(q_id, kk),
-                "feature_id": fid[part].ravel(),
-                "dist2": pd2.ravel(),
-            })
+            # chunk the query axis so each distance block stays ~2 MB
+            # (same bound knn_broadcast uses): |residue| × |arrow batch|
+            # can be 10k × 10k = 800 MB per int64 matrix unchunked —
+            # an executor-OOM exactly at the residue sizes the guard
+            # permits.  The kernel is DRAM-bound, so small blocks also
+            # keep it in cache.
+            qstep = max(256, (2 << 20) // (8 * len(fid)))
+            kk = min(k, len(fid))
+            for s in range(0, len(q_id), qstep):
+                e = min(s + qstep, len(q_id))
+                d2 = q_la[s:e, None] - fla[None, :]
+                d2 *= d2
+                dlon = q_lo[s:e, None] - flo[None, :]
+                np.abs(dlon, out=dlon)
+                if wrap:
+                    np.subtract(K.LON_WORLD, dlon, out=dlon,
+                                where=dlon > K.LON_WORLD // 2)
+                dlon *= dlon
+                d2 += dlon
+                part, pd2 = _topk_block(d2, fid, kk)
+                yield pd.DataFrame({
+                    "k": np.repeat(q_id[s:e], kk),
+                    "feature_id": fid[part].ravel(),
+                    "dist2": pd2.ravel(),
+                })
 
     partials = features.select(
         "feature_id", F.col("lat").alias("flat"), F.col("lon").alias("flon")

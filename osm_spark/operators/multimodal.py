@@ -340,9 +340,22 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
                     out.append(resize_nearest(
                         decode_png_gray(b), width, height).tobytes())
                 elif b[:2] == b"\xff\xd8":
+                    # baseline-sequential decodes numpy-only; anything
+                    # the built-in codec rejects (progressive/SOF2,
+                    # sampling >2, 16-bit quant, truncated scans) falls
+                    # through to PIL like every other non-built-in
+                    # format rather than failing the task
                     from osm_spark.operators.jpeg import decode_jpeg_gray
-                    out.append(resize_nearest(
-                        decode_jpeg_gray(b), width, height).tobytes())
+                    try:
+                        px = decode_jpeg_gray(b)
+                    except ValueError:
+                        if not have_pil:
+                            raise
+                        img = Image.open(io.BytesIO(b)).convert(
+                            "L").resize((width, height))
+                        out.append(img.tobytes())
+                        continue
+                    out.append(resize_nearest(px, width, height).tobytes())
                 elif not have_pil:
                     raise NotImplementedError(
                         "only BMP/netpbm/PNG/baseline-JPEG decode is built "

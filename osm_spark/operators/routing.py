@@ -669,6 +669,24 @@ def contract(
 # X7: bidirectional CH query (driver-side, for tests / point lookups)
 
 
+def _build_upward(rows) -> tuple[dict, dict, dict]:
+    """Upward adjacency + best-edge map from CH edge rows
+    (src, dst, weight, via, rank_src, rank_dst) — the shared front half
+    of every CH query flavour (point, path, batch)."""
+    up_fwd: dict[int, list[tuple[int, float]]] = {}
+    up_bwd: dict[int, list[tuple[int, float]]] = {}
+    edge_map: dict[tuple[int, int], tuple[float, int | None]] = {}
+    for src, dst, w, via, r_s, r_d in rows:
+        key = (int(src), int(dst))
+        if key not in edge_map or w < edge_map[key][0]:
+            edge_map[key] = (float(w), None if via is None else int(via))
+        if r_d > r_s:
+            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
+        if r_s > r_d:
+            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
+    return up_fwd, up_bwd, edge_map
+
+
 def ch_query(ch_edges: list[tuple], s: int, t: int) -> float:
     """Bidirectional Dijkstra over upward edges.
 
@@ -677,37 +695,10 @@ def ch_query(ch_edges: list[tuple], s: int, t: int) -> float:
     osm/routing.ml:49-79,148-172 (shortcut expansion not needed for
     distance-only queries).
     """
-    import heapq
-
-    up_fwd: dict[int, list[tuple[int, float]]] = {}
-    up_bwd: dict[int, list[tuple[int, float]]] = {}
-    for src, dst, w, r_s, r_d in ch_edges:
-        if r_d > r_s:
-            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
-        if r_s > r_d:
-            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
-
-    def search(adj, start):
-        dist = {start: 0.0}
-        pq = [(0.0, start)]
-        while pq:
-            d0, x = heapq.heappop(pq)
-            if d0 > dist.get(x, np.inf):
-                continue
-            for y, w in adj.get(x, ()):
-                nd = d0 + w
-                if nd < dist.get(y, np.inf):
-                    dist[y] = nd
-                    heapq.heappush(pq, (nd, y))
-        return dist
-
-    df = search(up_fwd, int(s))
-    db = search(up_bwd, int(t))
-    best = np.inf
-    for x, d in df.items():
-        if x in db:
-            best = min(best, d + db[x])
-    return float(best)
+    up_fwd, up_bwd, _ = _build_upward(
+        (src, dst, w, None, r_s, r_d) for src, dst, w, r_s, r_d in ch_edges)
+    best, _meet, _pf, _pb = _bidir_upward(up_fwd, up_bwd, int(s), int(t))
+    return best
 
 
 def expand_ch_edge(edge_map: dict, u: int, v: int) -> list[int]:
@@ -731,63 +722,11 @@ def ch_query_path(ch_edges: list[tuple], s: int, t: int) -> tuple[float, list[in
     graph nodes; ([], inf) if unreachable.  Reference:
     osm/routing.ml:49-79 (search), 92-145 (expansion).
     """
-    import heapq
-
-    up_fwd: dict[int, list[tuple[int, float]]] = {}
-    up_bwd: dict[int, list[tuple[int, float]]] = {}
-    edge_map: dict[tuple[int, int], tuple[float, int | None]] = {}
-    for src, dst, w, via, r_s, r_d in ch_edges:
-        key = (int(src), int(dst))
-        if key not in edge_map or w < edge_map[key][0]:
-            edge_map[key] = (float(w), None if via is None else int(via))
-        if r_d > r_s:
-            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
-        if r_s > r_d:
-            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
-
-    def search(adj, start):
-        dist = {start: 0.0}
-        par: dict[int, int] = {}
-        pq = [(0.0, start)]
-        while pq:
-            d0, x = heapq.heappop(pq)
-            if d0 > dist.get(x, np.inf):
-                continue
-            for y, w in adj.get(x, ()):
-                nd = d0 + w
-                if nd < dist.get(y, np.inf):
-                    dist[y] = nd
-                    par[y] = x
-                    heapq.heappush(pq, (nd, y))
-        return dist, par
-
-    df, pf = search(up_fwd, int(s))
-    db, pb = search(up_bwd, int(t))
-    best, meet = np.inf, None
-    for x, d in df.items():
-        if x in db and d + db[x] < best:
-            best, meet = d + db[x], x
+    up_fwd, up_bwd, edge_map = _build_upward(ch_edges)
+    best, meet, pf, pb = _bidir_upward(up_fwd, up_bwd, int(s), int(t))
     if meet is None:
         return float("inf"), []
-
-    # upward chain s -> meet, downward chain meet -> t (original edge
-    # direction), each CH edge expanded through its via recursion
-    up_chain = []
-    x = meet
-    while x != int(s):
-        up_chain.append((pf[x], x))
-        x = pf[x]
-    up_chain.reverse()
-    down_chain = []
-    x = meet
-    while x != int(t):
-        down_chain.append((x, pb[x]))
-        x = pb[x]
-
-    path = [int(s)]
-    for u, v in up_chain + down_chain:
-        path.extend(expand_ch_edge(edge_map, u, v))
-    return float(best), path
+    return best, _expand_pair_path(edge_map, pf, pb, int(s), int(t), meet)
 
 
 def _bidir_upward(up_fwd: dict, up_bwd: dict, s: int, t: int):
@@ -866,17 +805,7 @@ def ch_batch_routes(pairs: DataFrame, ch_edges: DataFrame,
 
     rows = ch_edges.select("src", "dst", "weight", "via",
                            "rank_src", "rank_dst").collect()
-    up_fwd: dict[int, list[tuple[int, float]]] = {}
-    up_bwd: dict[int, list[tuple[int, float]]] = {}
-    edge_map: dict[tuple[int, int], tuple[float, int | None]] = {}
-    for src, dst, w, via, r_s, r_d in rows:
-        key = (int(src), int(dst))
-        if key not in edge_map or w < edge_map[key][0]:
-            edge_map[key] = (float(w), None if via is None else int(via))
-        if r_d > r_s:
-            up_fwd.setdefault(int(src), []).append((int(dst), float(w)))
-        if r_s > r_d:
-            up_bwd.setdefault(int(dst), []).append((int(src), float(w)))
+    up_fwd, up_bwd, edge_map = _build_upward(rows)
     bc = pairs.sparkSession.sparkContext.broadcast(
         (up_fwd, up_bwd, edge_map if with_path else None))
 

@@ -160,6 +160,10 @@ def write_shp(path: str, shapes: list[tuple[int, list[list[tuple[float, float]]]
         ys = [y for _, y in flat]
         content = struct.pack("<i", typ)
         if typ == POINT:                 # x, y only — no bbox, no parts
+            if len(flat) != 1:
+                raise ValueError(
+                    f"shape {num}: POINT holds exactly one point, got "
+                    f"{len(flat)} (use MULTIPOINT)")
             content += struct.pack("<2d", *flat[0])
         elif typ == MULTIPOINT:          # bbox + count + points
             content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))

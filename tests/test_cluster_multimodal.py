@@ -251,6 +251,19 @@ def test_minhash_hot_bucket_star_pairing(spark):
     capped = {(r.id_a, r.id_b) for r in minhash_pairs(small, max_bucket=100).collect()}
     uncapped = {(r.id_a, r.id_b) for r in minhash_pairs(small, max_bucket=None).collect()}
     assert capped == uncapped
+    # minhash_dedup_groups passes the cap through: under a hot bucket its
+    # verified pairs are the star pairs (all identical docs -> jaccard 1
+    # against the canonical), a strict subset of the uncapped quadratic set
+    from osm_spark.operators.dedup import minhash_dedup_groups
+    dup = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated").alias("text"))
+    star_groups = {(r.id_a, r.id_b)
+                   for r in minhash_dedup_groups(dup, max_bucket=3).collect()}
+    full_groups = {(r.id_a, r.id_b)
+                   for r in minhash_dedup_groups(dup, max_bucket=None).collect()}
+    assert star_groups == {(0, i) for i in range(1, 8)}
+    assert full_groups == {(a, b) for a in range(8) for b in range(a + 1, 8)}
 
 
 def test_ppm_crlf_and_histogram_bins(spark):
@@ -463,3 +476,22 @@ def test_jpeg_codec_roundtrip_and_golden(spark):
     # restart markers + DRI segment are honored (hand-spliced DRI=1)
     b = encode_baseline(gray[:16, :16], quality=80)
     assert decode_jpeg_gray(b).shape == (16, 16)
+
+
+def test_jpeg_truncated_scan_raises_clean_error():
+    """A truncated entropy segment (partial download) must surface as a
+    labelled ValueError — never the raw 'negative shift count' the bit
+    reader used to hit when _fill stopped at an early EOI — and the
+    1-bit pad keeps genuinely-complete streams decoding as before."""
+    import numpy as np
+    import pytest
+
+    from osm_spark.operators.jpeg import decode_jpeg_gray, encode_baseline
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    b = encode_baseline(img, quality=85)
+    cut = b.find(b"\xff\xda") + 200
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg_gray(b[:cut] + b"\xff\xd9")
+    assert decode_jpeg_gray(b).shape == (64, 64)

@@ -92,3 +92,14 @@ def test_point_multipoint_and_z_variants(spark, tmp_path):
     assert len(parts) == 1
     assert parts[0][1].tolist() == [0, 10_000_000]   # lats
     assert parts[0][2].tolist() == [0, 10_000_000]   # lons
+
+
+def test_write_shp_point_rejects_multiple_points(tmp_path):
+    """POINT records hold exactly one point; a multi-point part list is a
+    fixture-authoring error and must fail loudly, not silently keep only
+    the first point (MULTIPOINT is the type that writes them all)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one point"):
+        SHP.write_shp(str(tmp_path / "bad"),
+                      [(SHP.POINT, [[(1.0, 2.0), (3.0, 4.0)]])])

@@ -246,7 +246,8 @@ def write_artifacts(doc: dict, cores_low: int, cores_high: int,
         for p in paired)
     paired_effs = sorted(p["efficiency"] for p in paired)
     paired_min = paired_effs[0]
-    paired_median = paired_effs[len(paired_effs) // 2]
+    import statistics
+    paired_median = statistics.median(paired_effs)
     (bench_dir / "BASELINE.md").write_text(f"""# Scaling evidence — N vs 4N parallelism
 
 Protocol (BASELINE.md / north rule): same benchmark job, same input
