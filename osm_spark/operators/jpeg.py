@@ -281,9 +281,12 @@ def _dht_payload(cls_id: int, spec) -> bytes:
 
 
 def encode_baseline(img: np.ndarray, quality: int = 75,
-                    subsample: bool = True) -> bytes:
+                    subsample: bool = True, dri: int = 0) -> bytes:
     """Deterministic baseline JPEG: (h, w) uint8 -> grayscale JFIF;
-    (h, w, 3) uint8 RGB -> YCbCr, 4:2:0 when ``subsample`` else 4:4:4."""
+    (h, w, 3) uint8 RGB -> YCbCr, 4:2:0 when ``subsample`` else 4:4:4.
+    ``dri`` > 0 emits a DRI segment and an RSTn marker (byte-aligned,
+    predictors reset) after every ``dri`` MCUs — the restart-interval
+    layout real crawl JPEGs use."""
     img = np.asarray(img, np.uint8)
     color = img.ndim == 3
     qt_y = quality_scale(QT_LUMA, quality)
@@ -335,15 +338,24 @@ def encode_baseline(img: np.ndarray, quality: int = 75,
     mcu_x = planes[0].shape[1] // (8 * hv[0][0])
     mcu_y = planes[0].shape[0] // (8 * hv[0][1])
     preds = [0] * len(planes)
-    for my in range(mcu_y):
-        for mx in range(mcu_x):
-            for ci, (hh, vv) in enumerate(hv):
-                for by in range(vv):
-                    for bx in range(hh):
-                        blk = zz[ci][my * vv + by, mx * hh + bx]
-                        preds[ci] = _encode_block(
-                            w, blk, preds[ci],
-                            dc_codes[hids[ci]], ac_codes[hids[ci]])
+    rst = 0
+    n_mcu = mcu_x * mcu_y
+    for mi in range(n_mcu):
+        if dri and mi and mi % dri == 0:
+            # restart: pad to a byte boundary, emit RSTn (markers are
+            # raw — never FF00-stuffed), reset the DC predictors
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        my, mx = divmod(mi, mcu_x)
+        for ci, (hh, vv) in enumerate(hv):
+            for by in range(vv):
+                for bx in range(hh):
+                    blk = zz[ci][my * vv + by, mx * hh + bx]
+                    preds[ci] = _encode_block(
+                        w, blk, preds[ci],
+                        dc_codes[hids[ci]], ac_codes[hids[ci]])
     w.flush()
 
     h0, w0 = img.shape[:2]
@@ -362,6 +374,8 @@ def encode_baseline(img: np.ndarray, quality: int = 75,
     if color:
         out += _seg(0xC4, _dht_payload(0x01, HUFF_DC_CHROMA))
         out += _seg(0xC4, _dht_payload(0x11, HUFF_AC_CHROMA))
+    if dri:
+        out += _seg(0xDD, int(dri).to_bytes(2, "big"))  # DRI
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, (hids[ci] << 4) | hids[ci]])
@@ -577,6 +591,11 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
                             cat = rs & 0xF
+                            if cat == 0:
+                                # T.81 F.1.2.2: SSSS=0 is only legal in
+                                # EOB (0x00) / ZRL (0xF0), both handled
+                                # above — anything else is a corrupt scan
+                                raise ValueError("JPEG: bad AC symbol")
                             blk[k] = _extend(r.bits(cat), cat)
                             k += 1
                     else:
@@ -591,6 +610,8 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                             k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG: AC index overflow")
+                            if rs & 0xF == 0:
+                                raise ValueError("JPEG: bad AC symbol")
                             r.bits(rs & 0xF)
                             k += 1
 

@@ -269,6 +269,7 @@ def knn_join(
     n_features: int | None = None,
     max_expansions: int = MAX_EXPANSIONS,
     brute_residue_limit: int = BRUTE_RESIDUE_LIMIT,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """k nearest features (feature_id, flat, flon) for each point.
 
@@ -318,6 +319,17 @@ def knn_join(
     if not exact:
         return ranked.select(key, "feature_id", "dist2", "rank")
 
+    # the exact path consumes each round's ranked frame three times
+    # (certification agg, left_semi keep, left_anti carry-over) and the
+    # residue guard below drives the whole cascade eagerly — truncate
+    # lineage per round so those uses and the caller's action share one
+    # materialization instead of re-running the candidate join 2x(1+rounds)
+    # times (same per-round localCheckpoint idiom as CH contraction);
+    # checkpoint_rounds=False keeps the full logical tree visible for
+    # plan audits (tools/explain_plans.py) — execution semantics identical
+    if checkpoint_rounds:
+        ranked = ranked.localCheckpoint(eager=False)
+
     # certification bound (see module docstring)
     stats = points.agg(F.min("lat"), F.max("lat")).collect()[0]
     if stats[0] is None:          # no points: nothing to certify
@@ -352,6 +364,8 @@ def knn_join(
             .select(key, "lat", "lon", "feature_id", "flat", "flon"),
             key, k,
         )
+        if checkpoint_rounds:
+            ranked_r = ranked_r.localCheckpoint(eager=False)
         ck = certified_keys(ranked_r, r)
         parts.append(ranked_r.join(ck, key, "left_semi"))
         remaining = remaining.join(ck, key, "left_anti")

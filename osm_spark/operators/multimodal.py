@@ -348,9 +348,15 @@ def decode_and_resize(media_df: DataFrame, width: int, height: int,
                     from osm_spark.operators.jpeg import decode_jpeg_gray
                     try:
                         px = decode_jpeg_gray(b)
-                    except ValueError:
+                    except (ValueError, KeyError, IndexError) as e:
+                        # corrupt streams surface as KeyError (undefined
+                        # Huffman/component id) or IndexError (segment
+                        # truncated mid-table), not only ValueError —
+                        # all of them must route to PIL, not kill the task
                         if not have_pil:
-                            raise
+                            raise ValueError(
+                                f"JPEG decode failed ({e!r}) and PIL is "
+                                "not available for fallback") from e
                         img = Image.open(io.BytesIO(b)).convert(
                             "L").resize((width, height))
                         out.append(img.tobytes())

@@ -259,7 +259,12 @@ def composite_cells(cells: DataFrame,
     area = (cells.groupBy("feature_id")
             .agg(F.count("*").alias("area_cells")))
     if remap_ids is None:
-        ext = cells.agg(F.min("feature_id"), F.max("feature_id")).collect()[0]
+        # probe the id extremes from the tiny per-feature aggregate, not
+        # the raw cells frame: one localCheckpoint materializes the
+        # upstream lineage (often a full rasterize) exactly once, shared
+        # by this probe and the paint-key join below
+        area = area.localCheckpoint(eager=False)
+        ext = area.agg(F.min("feature_id"), F.max("feature_id")).collect()[0]
         remap_ids = ext[0] is not None and (
             int(ext[0]) < 0 or int(ext[1]) >= FID_CAP)
     if remap_ids:

@@ -473,9 +473,15 @@ def test_jpeg_codec_roundtrip_and_golden(spark):
     row = MM.decode_and_resize(df, 8, 6).collect()[0]
     assert bytes(row.pixels).hex().upper() == entry.MM_JPEG_GOLDENS[0]
 
-    # restart markers + DRI segment are honored (hand-spliced DRI=1)
-    b = encode_baseline(gray[:16, :16], quality=80)
-    assert decode_jpeg_gray(b).shape == (16, 16)
+    # restart markers: DRI=1 emits an RSTn after every MCU (byte-align,
+    # predictor reset); the decode must be bit-identical to the no-DRI
+    # stream's, for gray (4 MCUs) and 4:2:0 color (1 MCU boundary)
+    b_plain = encode_baseline(gray[:16, :16], quality=80)
+    b_rst = encode_baseline(gray[:16, :16], quality=80, dri=1)
+    assert b"\xff\xd0" in b_rst and b"\xff\xd0" not in b_plain
+    assert np.array_equal(decode_jpeg_gray(b_rst), decode_jpeg_gray(b_plain))
+    c_rst = encode_baseline(rgb, quality=90, subsample=True, dri=1)
+    assert np.array_equal(decode_jpeg_gray(c_rst), outc)
 
 
 def test_jpeg_truncated_scan_raises_clean_error():
@@ -495,3 +501,70 @@ def test_jpeg_truncated_scan_raises_clean_error():
     with pytest.raises(ValueError, match="JPEG"):
         decode_jpeg_gray(b[:cut] + b"\xff\xd9")
     assert decode_jpeg_gray(b).shape == (64, 64)
+
+
+def test_jpeg_corrupt_streams_route_to_fallback(spark):
+    """Corrupt (not merely truncated) streams raise KeyError/IndexError/
+    ValueError from the parser — decode_and_resize must catch ALL of
+    them per payload and fall back (here: no PIL, so the guarded raise),
+    never kill the Spark task with an uncaught per-row exception."""
+    import numpy as np
+    import pytest
+
+    from osm_spark.operators import multimodal as MM
+    from osm_spark.operators.jpeg import decode_jpeg_gray, encode_baseline
+
+    img = (np.arange(64 * 64, dtype=np.uint32) % 251).astype(
+        np.uint8).reshape(64, 64)
+    good = encode_baseline(img, quality=85)
+
+    # SOS names Huffman table 3 which no DHT defines -> KeyError
+    sos = good.find(b"\xff\xda")
+    bad_table = bytearray(good)
+    bad_table[sos + 6] = 0x33
+    with pytest.raises(KeyError):
+        decode_jpeg_gray(bytes(bad_table))
+    # DHT truncated mid-values -> IndexError
+    dht = good.find(b"\xff\xc4")
+    with pytest.raises((IndexError, ValueError)):
+        decode_jpeg_gray(good[:dht + 8] + good[sos:])
+    # every shape above must be caught per-row by decode_and_resize: with
+    # no PIL in this container the guard wraps it in a labelled
+    # ValueError; an UNCAUGHT KeyError would surface verbatim instead
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(bad_table)))], "doc_id long, media binary")
+    with pytest.raises(Exception, match="PIL is not available"):
+        MM.decode_and_resize(df, 8, 6).collect()
+
+
+def test_jpeg_bad_ac_symbol_clean_error():
+    """A stream whose AC table maps a code to RRRRSSSS with SSSS=0 and
+    run 1-14 (illegal per T.81 F.1.2.2) must surface as the labelled
+    'bad AC symbol' ValueError — never the raw 'negative shift count'
+    _extend(0, 0) would raise."""
+    import numpy as np
+    import pytest
+
+    from osm_spark.operators.jpeg import (
+        HUFF_DC_LUMA, QT_LUMA, _BitWriter, _canonical_codes, _dht_payload,
+        _dqt_payload, _seg, decode_jpeg_gray)
+
+    # hand-built 8x8 grayscale: standard DC table, but an AC table whose
+    # single 1-bit code decodes to symbol 0x30 (run 3, size 0 = illegal)
+    bad_ac = ([1] + [0] * 15, [0x30])
+    w = _BitWriter()
+    dc_codes = _canonical_codes(*HUFF_DC_LUMA)
+    length, code = dc_codes[0]
+    w.put(code, length)          # DC diff category 0 (no extra bits)
+    w.put(0, 1)                  # AC: 1-bit code -> 0x30
+    w.flush()
+    b = bytearray(b"\xff\xd8")
+    b += _seg(0xDB, _dqt_payload(0, QT_LUMA))
+    b += _seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+              + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    b += _seg(0xC4, _dht_payload(0x00, HUFF_DC_LUMA))
+    b += _seg(0xC4, _dht_payload(0x10, bad_ac))
+    b += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    b += w.out + b"\xff\xd9"
+    with pytest.raises(ValueError, match="bad AC symbol"):
+        decode_jpeg_gray(bytes(b))

@@ -87,7 +87,9 @@ n_files = spark.sql("SELECT count(*) AS n FROM local.db.cells.files") \
     .collect()[0].n
 pruned = spark.read.format("iceberg").load("local.db.cells") \
     .filter("cx = 3")
-assert pruned.count() == 10_000 // 64 + (1 if 3 < 10_000 % 64 else 0) or True
+# cx = id % 64 over 10k ids; the step-2 append added only cx=0 rows
+assert pruned.count() == 10_000 // 64 + (1 if 3 < 10_000 % 64 else 0), \
+    pruned.count()
 scanned = pruned.select(F.input_file_name()).distinct().count()
 assert scanned < n_files, (scanned, n_files)
 

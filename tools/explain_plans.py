@@ -238,8 +238,12 @@ def main():
     # 4b. kNN exact path: expanding rings + residue — the fallback must
     # never broadcast the feature layer (r4 finding: the old brute pass
     # was crossJoin(broadcast(ALL features)) = BroadcastNestedLoopJoin)
+    # checkpoint_rounds=False: production checkpoints each round (so the
+    # executed plan per round is exactly the sub-tree audited here); the
+    # audit wants the full unfolded tree, not Scan ExistingRDD stubs
     knn_exact = knn_join(geo, feats, k=1, cell_zoom=8, radius=1,
-                         key="doc_id", strategy="cells", exact=True)
+                         key="doc_id", strategy="cells", exact=True,
+                         checkpoint_rounds=False)
     plan = fmt(knn_exact)
     checks.append(("kNN — exact fallback (expanding rings + residue)",
                    "no CartesianProduct", "CartesianProduct" not in plan))
