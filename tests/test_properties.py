@@ -150,3 +150,25 @@ def test_trace_rings_even_odd_roundtrip(cells):
     filled = {(x, y) for x in range(9) for y in range(9)
               if _even_odd_fill(rings, x, y)}
     assert filled == set(cells)
+
+
+# ------------------------------------------------------ JPEG restarts
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 3),
+       st.booleans(), st.integers(0, 2**32 - 1))
+def test_jpeg_dri_stream_decodes_identically(h, w, dri, color, seed):
+    """Restart intervals are pure framing: for ANY image shape (odd
+    dims, sub-MCU sizes), color mode, and DRI in {0..3}, the decoded
+    pixels are bit-identical to the no-restart stream's — predictors
+    reset and byte-alignment consume no signal (operators/jpeg.py)."""
+    import numpy as np
+
+    from osm_spark.operators.jpeg import decode_jpeg_gray, encode_baseline
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    plain = decode_jpeg_gray(encode_baseline(img, quality=82))
+    rst = decode_jpeg_gray(encode_baseline(img, quality=82, dri=dri))
+    assert plain.shape == (h, w)
+    assert np.array_equal(plain, rst)
