@@ -1209,13 +1209,18 @@ def _ivf_oracle_sql() -> str | None:
     the parquet — no Spark, no DataFrame machinery — and emitted as a
     VALUES table.  Validates the distributed assignment/candidate-join/
     ranking path against a single-machine reference.  The driver runs
-    oracles at sf0.01 (its documented contract), which this path
-    hardcodes; returns None (-> rows-only) if that input is absent."""
+    oracles at sf0.01 (its documented contract) — the default here;
+    OSM_SPARK_ORACLE_SF overrides it so local cross-scale gate runs
+    (tools/check_oracles.py --sf ...) stay hash-exact too; returns
+    None (-> rows-only) if that input is absent."""
+    import os
     from pathlib import Path
 
     import numpy as np
 
-    path = Path("/root/testdata/sf0.01/embeddings.parquet")
+    path = Path(os.environ.get(
+        "OSM_SPARK_ORACLE_SF", "/root/testdata/sf0.01")) \
+        / "embeddings.parquet"
     if not path.exists():
         return None
     import pyarrow.parquet as pq

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -51,6 +52,11 @@ def main():
     args = ap.parse_args()
 
     import duckdb
+
+    # VALUES-style oracles recomputed from parquet (s_ivf_topk) must
+    # read the SAME sf dir the Spark side runs on, not the driver's
+    # default sf0.01 — set before entry's oracle_sql() is consulted
+    os.environ["OSM_SPARK_ORACLE_SF"] = args.sf
 
     import __spark_entry__ as entry
     from osm_spark.session import get_spark
